@@ -1,0 +1,370 @@
+"""Host-side filter designer for the TPU-native Speex-compatible resampler.
+
+Re-derives the reference's Kaiser-windowed-sinc filter tables with the exact
+mixed float32/float64 arithmetic of the C core so that tables are
+*bit-identical* to the reference build (``deps/speex/resample.c`` compiled
+with ``-DFLOATING_POINT -DOUTSIDE_SPEEX`` as the shipped WASM is,
+``scripts/build_emscripten.sh:18-19``).
+
+Everything here is cold-path NumPy: tables are built once per (quality,
+num/den) configuration and shipped to the device, where the hot path is a
+single phase-indexed matmul (see ``ops/fir_matmul.py``).
+
+Reference map (file:line cites into /root/reference):
+  - quality presets:        deps/speex/resample.c:226-238 (quality_map)
+  - Kaiser window tables:   deps/speex/resample.c:148-206
+  - window evaluator:       deps/speex/resample.c:240-258 (compute_func)
+  - sinc tap generator:     deps/speex/resample.c:288-299 (float build)
+  - cubic phase interp:     deps/speex/resample.c:318-329 (cubic_coef)
+  - filter (re)design:      deps/speex/resample.c:605-701 (update_filter)
+  - ratio reduction:        deps/speex/resample.c:1095-1145
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import lru_cache
+
+import numpy as np
+
+__all__ = [
+    "QUALITY_MAP",
+    "FilterSpec",
+    "design_filter",
+    "compute_gcd",
+    "multiply_frac",
+    "build_sinc_table_direct",
+    "build_sinc_table_interp",
+    "effective_phase_table",
+    "cubic_coef",
+    "OverflowArgError",
+]
+
+_UINT32_MAX = 0xFFFFFFFF
+
+F32 = np.float32
+F64 = np.float64
+
+
+class OverflowArgError(ValueError):
+    """Raised where the C core would return RESAMPLER_ERR_OVERFLOW."""
+
+
+# ---------------------------------------------------------------------------
+# Window tables (algorithmic constants of the Speex design; values are data
+# published in deps/speex/resample.c:148-192, required for bit parity).
+# ---------------------------------------------------------------------------
+
+_KAISER12 = np.array(
+    [0.99859849, 1.00000000, 0.99859849, 0.99440475, 0.98745105, 0.97779076,
+     0.96549770, 0.95066529, 0.93340547, 0.91384741, 0.89213598, 0.86843014,
+     0.84290116, 0.81573067, 0.78710866, 0.75723148, 0.72629970, 0.69451601,
+     0.66208321, 0.62920216, 0.59606986, 0.56287762, 0.52980938, 0.49704014,
+     0.46473455, 0.43304576, 0.40211431, 0.37206735, 0.34301800, 0.31506490,
+     0.28829195, 0.26276832, 0.23854851, 0.21567274, 0.19416736, 0.17404546,
+     0.15530766, 0.13794294, 0.12192957, 0.10723616, 0.09382272, 0.08164178,
+     0.07063950, 0.06075685, 0.05193064, 0.04409466, 0.03718069, 0.03111947,
+     0.02584161, 0.02127838, 0.01736250, 0.01402878, 0.01121463, 0.00886058,
+     0.00691064, 0.00531256, 0.00401805, 0.00298291, 0.00216702, 0.00153438,
+     0.00105297, 0.00069463, 0.00043489, 0.00025272, 0.00013031, 0.0000527734,
+     0.00001000, 0.00000000], dtype=F64)
+
+_KAISER10 = np.array(
+    [0.99537781, 1.00000000, 0.99537781, 0.98162644, 0.95908712, 0.92831446,
+     0.89005583, 0.84522401, 0.79486424, 0.74011713, 0.68217934, 0.62226347,
+     0.56155915, 0.50119680, 0.44221549, 0.38553619, 0.33194107, 0.28205962,
+     0.23636152, 0.19515633, 0.15859932, 0.12670280, 0.09935205, 0.07632451,
+     0.05731132, 0.04193980, 0.02979584, 0.02044510, 0.01345224, 0.00839739,
+     0.00488951, 0.00257636, 0.00115101, 0.00035515, 0.00000000, 0.00000000],
+    dtype=F64)
+
+_KAISER8 = np.array(
+    [0.99635258, 1.00000000, 0.99635258, 0.98548012, 0.96759014, 0.94302200,
+     0.91223751, 0.87580811, 0.83439927, 0.78875245, 0.73966538, 0.68797126,
+     0.63451750, 0.58014482, 0.52566725, 0.47185369, 0.41941150, 0.36897272,
+     0.32108304, 0.27619388, 0.23465776, 0.19672670, 0.16255380, 0.13219758,
+     0.10562887, 0.08273982, 0.06335451, 0.04724088, 0.03412321, 0.02369490,
+     0.01563093, 0.00959968, 0.00527363, 0.00233883, 0.00050000, 0.00000000],
+    dtype=F64)
+
+_KAISER6 = np.array(
+    [0.99733006, 1.00000000, 0.99733006, 0.98935595, 0.97618418, 0.95799003,
+     0.93501423, 0.90755855, 0.87598009, 0.84068475, 0.80211977, 0.76076565,
+     0.71712752, 0.67172623, 0.62508937, 0.57774224, 0.53019925, 0.48295561,
+     0.43647969, 0.39120616, 0.34752997, 0.30580127, 0.26632152, 0.22934058,
+     0.19505503, 0.16360756, 0.13508755, 0.10953262, 0.08693120, 0.06722600,
+     0.05031820, 0.03607231, 0.02432151, 0.01487334, 0.00752000, 0.00000000],
+    dtype=F64)
+
+# window table + its oversample factor (FuncDef, resample.c:194-206)
+_WINDOWS = {
+    "kaiser12": (_KAISER12, 64),
+    "kaiser10": (_KAISER10, 32),
+    "kaiser8": (_KAISER8, 32),
+    "kaiser6": (_KAISER6, 32),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class QualityEntry:
+    base_length: int
+    oversample: int
+    downsample_bandwidth: float  # stored as the f32 value the C table holds
+    upsample_bandwidth: float
+    window: str
+
+
+# quality_map, resample.c:226-238
+QUALITY_MAP: tuple[QualityEntry, ...] = (
+    QualityEntry(8, 4, 0.830, 0.860, "kaiser6"),     # Q0
+    QualityEntry(16, 4, 0.850, 0.880, "kaiser6"),    # Q1
+    QualityEntry(32, 4, 0.882, 0.910, "kaiser6"),    # Q2
+    QualityEntry(48, 8, 0.895, 0.917, "kaiser8"),    # Q3
+    QualityEntry(64, 8, 0.921, 0.940, "kaiser8"),    # Q4
+    QualityEntry(80, 16, 0.922, 0.940, "kaiser10"),  # Q5
+    QualityEntry(96, 16, 0.940, 0.945, "kaiser10"),  # Q6
+    QualityEntry(128, 16, 0.950, 0.950, "kaiser10"), # Q7
+    QualityEntry(160, 16, 0.960, 0.960, "kaiser10"), # Q8
+    QualityEntry(192, 32, 0.968, 0.968, "kaiser12"), # Q9
+    QualityEntry(256, 32, 0.975, 0.975, "kaiser12"), # Q10
+)
+
+
+def compute_gcd(a: int, b: int) -> int:
+    """GCD, resample.c:1095-1105."""
+    return math.gcd(a, b)
+
+
+def multiply_frac(value: int, num: int, den: int) -> int:
+    """Overflow-guarded ``value * num / den`` in uint32, resample.c:593-603."""
+    major, remain = divmod(value, den)
+    if (remain > _UINT32_MAX // num or major > _UINT32_MAX // num
+            or major * num > _UINT32_MAX - remain * num // den):
+        raise OverflowArgError("rational scaling overflows uint32")
+    return remain * num // den + major * num
+
+
+# ---------------------------------------------------------------------------
+# Window / sinc evaluation with exact C float semantics.
+#
+# The C expressions mix f32 and f64: float locals and float-typed parameters
+# round intermediate values to f32; double literals promote products to f64.
+# Each np.float32(...) cast below marks a place where C stores/passes a float.
+# ---------------------------------------------------------------------------
+
+def _compute_func(x_f32: np.ndarray, window: str) -> np.ndarray:
+    """Vectorized compute_func (resample.c:240-258). x is the f32 argument;
+    returns float64 exactly like the C double return value."""
+    table, oversample = _WINDOWS[window]
+    x = x_f32.astype(F32)
+    y = (x * F32(oversample)).astype(F32)          # float y = x*oversample
+    ind = np.floor(y.astype(F64)).astype(np.int64)  # (int)floor(y)
+    # callers mask |x| > N/2 (sinc returns 0 there, resample.c:294) — clip so
+    # the vectorized gather stays in range for those lanes
+    ind = np.clip(ind, 0, len(_WINDOWS[window][0]) - 4)
+    frac = (y - ind.astype(F32)).astype(F32)        # float frac
+    f = frac.astype(F64)
+    # frac*frac and frac*frac*frac are computed in f32 in C (float*float)
+    f2_32 = (frac * frac).astype(F32)
+    f3_32 = (f2_32 * frac).astype(F32)
+    f2 = f2_32.astype(F64)
+    f3 = f3_32.astype(F64)
+    interp3 = F64(-0.1666666667) * f + F64(0.1666666667) * f3
+    interp2 = f + F64(0.5) * f2 - F64(0.5) * f3
+    interp0 = F64(-0.3333333333) * f + F64(0.5) * f2 - F64(0.1666666667) * f3
+    interp1 = F64(np.float32(1.0)) - interp3 - interp2 - interp0
+    t = table
+    return (interp0 * t[ind] + interp1 * t[ind + 1]
+            + interp2 * t[ind + 2] + interp3 * t[ind + 3])
+
+
+def _sinc(cutoff_f32: np.float32, x_f32: np.ndarray, N: int,
+          window: str) -> np.ndarray:
+    """Vectorized float-build sinc() (resample.c:288-299). Returns f32 taps."""
+    x = x_f32.astype(F32)
+    cutoff = F32(cutoff_f32)
+    xx = (x * cutoff).astype(F32)                       # float xx = x*cutoff
+    ax = np.abs(x.astype(F64))
+    pi_xx = F64(math.pi) * xx.astype(F64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        core = cutoff.astype(F64) * np.sin(pi_xx) / pi_xx
+    win_arg = np.abs(F64(2.0) * x.astype(F64) / F64(N)).astype(F32)
+    val = core * _compute_func(win_arg, window)
+    out = np.where(ax < 1e-6, cutoff.astype(F64),
+                   np.where(ax > 0.5 * N, F64(0.0), val))
+    return out.astype(F32)
+
+
+def cubic_coef(frac_f32: np.ndarray) -> np.ndarray:
+    """Vectorized float-build cubic_coef (resample.c:318-329).
+
+    Returns shape (..., 4) f32 coefficients [interp0..interp3]; interp2 is
+    computed as double(1.0) - others exactly like the C code."""
+    frac = np.asarray(frac_f32, dtype=F32)
+    # C evaluates e.g. 0.16667f*frac*frac*frac left-to-right in f32
+    c16 = F32(0.16667)
+    c33 = F32(0.33333)
+    c05 = F32(0.5)
+    i0 = (F32(-0.16667) * frac + ((c16 * frac) * frac) * frac).astype(F32)
+    i1 = (frac + ((c05 * frac) * frac)
+          - (((c05 * frac) * frac) * frac)).astype(F32)
+    i3 = (F32(-0.33333) * frac + ((c05 * frac) * frac)
+          - (((c16 * frac) * frac) * frac)).astype(F32)
+    i2 = (F64(1.0) - i0.astype(F64) - i1.astype(F64)
+          - i3.astype(F64)).astype(F32)
+    return np.stack([i0, i1, i2, i3], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Table builders (update_filter table-fill loops, resample.c:668-691).
+# ---------------------------------------------------------------------------
+
+def build_sinc_table_direct(cutoff_f32: np.float32, filt_len: int, den: int,
+                            window: str) -> np.ndarray:
+    """Direct path table, layout [den phases, filt_len taps]
+    (resample.c:671-678, flattened there as i*filt_len+j)."""
+    j = np.arange(filt_len, dtype=np.int64)
+    i = np.arange(den, dtype=np.int64)
+    # x = (j - filt_len/2 + 1) - i/den   with i/den an f32 division
+    base = (j - filt_len // 2 + 1).astype(F32)[None, :]
+    frac_i = (i.astype(F32) / F32(den)).astype(F32)[:, None]
+    x = (base - frac_i).astype(F32)
+    return _sinc(cutoff_f32, x, filt_len, window)  # [den, filt_len]
+
+
+def build_sinc_table_interp(cutoff_f32: np.float32, filt_len: int,
+                            oversample: int, window: str) -> np.ndarray:
+    """Interpolated path table, length oversample*filt_len + 8, entries for
+    i in [-4, oversample*filt_len+4) stored at index i+4 (resample.c:689-691).
+    """
+    i = np.arange(-4, oversample * filt_len + 4, dtype=np.int64)
+    x = (i.astype(F32) / F32(oversample)).astype(F32) - F32(filt_len // 2)
+    return _sinc(cutoff_f32, x.astype(F32), filt_len, window)
+
+
+def effective_phase_table(sinc_table: np.ndarray, filt_len: int,
+                          oversample: int, den: int) -> np.ndarray:
+    """Collapse the interpolated path into per-phase effective taps.
+
+    The reference hot loop (resampler_basic_interpolate_*, resample.c:438-559)
+    computes, for fractional phase f = samp_frac_num in [0, den):
+        offset = f*oversample // den
+        frac   = f32((f*oversample) % den) / f32(den)
+        out    = sum_c interp_c(frac) * sum_j in[j] * T[4+(j+1)*ov - offset - 2 + c]
+    Because the phase sequence is periodic with period den, there are exactly
+    den distinct effective filters
+        H[f, j] = sum_c interp_c(frac_f) * T[4+(j+1)*ov - offset_f - 2 + c]
+    which we precompute here (f64 combine of the f32 table and f32 cubic
+    coefficients, rounded once to f32).  This turns the interpolated path
+    into the same phase-indexed dot product as the direct path, which is the
+    shape the TPU matmul kernel wants.  Deviation from the reference is only
+    float reassociation, bounded well under 1 LSB of the s16 output.
+    """
+    f = np.arange(den, dtype=np.uint64)
+    offset = (f * np.uint64(oversample) // np.uint64(den)).astype(np.int64)
+    rem = (f * np.uint64(oversample) % np.uint64(den)).astype(np.int64)
+    frac = (rem.astype(F32) / F32(den)).astype(F32)
+    interp = cubic_coef(frac).astype(F64)  # [den, 4]
+    j = np.arange(filt_len, dtype=np.int64)
+    # idx[f, j, c] = 4 + (j+1)*ov - offset_f - 2 + c, c in 0..3
+    base = 4 + (j + 1)[None, :] * oversample - offset[:, None] - 2
+    idx = base[:, :, None] + np.arange(4)[None, None, :]
+    taps = sinc_table.astype(F64)[idx]  # [den, filt_len, 4]
+    return np.einsum("fjc,fc->fj", taps, interp).astype(F32)
+
+
+# ---------------------------------------------------------------------------
+# Full filter design (update_filter equivalent).
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class FilterSpec:
+    """Immutable result of filter design for one (quality, num/den) config.
+
+    ``phase_table`` is the [den, filt_len] f32 matrix of effective taps: row
+    f holds the FIR taps used when samp_frac_num == f.  For the direct path
+    it is the reference sinc table verbatim; for the interpolated path it is
+    the cubic-collapsed table (see effective_phase_table).  ``sinc_table``
+    preserves the reference's raw table layout for parity tests.
+    """
+    num: int                 # reduced ratio numerator (input rate side)
+    den: int                 # reduced ratio denominator (output rate side)
+    quality: int
+    filt_len: int
+    oversample: int
+    use_direct: bool
+    cutoff: float            # f32 value
+    int_advance: int
+    frac_advance: int
+    sinc_table: np.ndarray   # reference-layout raw table (f32, 1-D)
+    phase_table: np.ndarray  # [den, filt_len] effective taps (f32)
+
+    @property
+    def input_latency(self) -> int:
+        """resample.c:1190-1193."""
+        return self.filt_len // 2
+
+    @property
+    def output_latency(self) -> int:
+        """resample.c:1195-1198."""
+        return ((self.filt_len // 2) * self.den + (self.num >> 1)) // self.num
+
+
+@lru_cache(maxsize=64)
+def design_filter(num: int, den: int, quality: int) -> FilterSpec:
+    """Equivalent of update_filter (resample.c:605-701) for a reduced ratio.
+
+    ``num``/``den`` must already be GCD-reduced (speex_resampler_set_rate_frac
+    reduces before update_filter runs, resample.c:1125-1128).
+    """
+    if not (0 <= quality <= 10):
+        raise ValueError("quality must be in [0, 10]")
+    if num <= 0 or den <= 0:
+        raise ValueError("ratio must be positive")
+
+    q = QUALITY_MAP[quality]
+    int_advance = num // den
+    frac_advance = num % den
+    oversample = q.oversample
+    filt_len = q.base_length
+
+    if num > den:
+        # down-sampling: scale cutoff down and filter length up
+        # (resample.c:618-635)
+        cutoff = F32(F32(q.downsample_bandwidth) * F32(den) / F32(num))
+        filt_len = multiply_frac(filt_len, num, den)
+        filt_len = ((filt_len - 1) & ~0x7) + 8  # round up to multiple of 8
+        if 2 * den < num:
+            oversample >>= 1
+        if 4 * den < num:
+            oversample >>= 1
+        if 8 * den < num:
+            oversample >>= 1
+        if 16 * den < num:
+            oversample >>= 1
+        oversample = max(oversample, 1)
+    else:
+        cutoff = F32(q.upsample_bandwidth)
+
+    # direct vs interpolated choice by table memory (resample.c:646-648)
+    use_direct = (filt_len * den <= filt_len * oversample + 8
+                  and (2**31 - 1) // 4 // den >= filt_len)
+
+    window = q.window
+    if use_direct:
+        table2d = build_sinc_table_direct(cutoff, filt_len, den, window)
+        sinc_table = table2d.reshape(-1)
+        phase_table = table2d
+    else:
+        sinc_table = build_sinc_table_interp(cutoff, filt_len, oversample,
+                                             window)
+        phase_table = effective_phase_table(sinc_table, filt_len, oversample,
+                                            den)
+
+    return FilterSpec(
+        num=num, den=den, quality=quality, filt_len=filt_len,
+        oversample=oversample, use_direct=use_direct, cutoff=float(cutoff),
+        int_advance=int_advance, frac_advance=frac_advance,
+        sinc_table=sinc_table, phase_table=phase_table,
+    )

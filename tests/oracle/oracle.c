@@ -1,0 +1,233 @@
+/* Test-only golden oracle for speex_resampler_tpu.
+ *
+ * Builds the reference speexdsp resampler (read from /root/reference at
+ * compile time, never vendored here) into a small CLI that dumps filter
+ * tables, resampled PCM, and internal state so the JAX/Pallas implementation
+ * can be asserted against it sample-by-sample.
+ *
+ * The reference is compiled exactly like the shipped WASM build
+ * (scripts/build_emscripten.sh:18-19): -DFLOATING_POINT -DOUTSIDE_SPEEX,
+ * so spx_word16_t = float and no SIMD overrides.
+ *
+ * Including resample.c directly gives access to the internal
+ * SpeexResamplerState_ struct (resample.c:116-146) for table/state dumps.
+ */
+#include <stdio.h>
+#include <stdint.h>
+#include <string.h>
+#include <stdlib.h>
+
+#define EXPORT
+#include "resample.c" /* resolved via -I$REFERENCE/deps/speex */
+
+static void die(const char *msg)
+{
+    fprintf(stderr, "oracle: %s\n", msg);
+    exit(1);
+}
+
+/* Dump filter-design internals as a simple text header + binary f32 table.
+ * Layout on stdout:
+ *   line 1: "num den filt_len oversample use_direct sinc_table_length
+ *            int_advance frac_advance cutoff(%.9g) in_latency out_latency"
+ *   then sinc_table_length float32 values (raw little-endian).
+ */
+static int cmd_tables(int argc, char **argv)
+{
+    if (argc < 5)
+        die("tables <channels> <in_rate> <out_rate> <quality>");
+    int channels = atoi(argv[1]);
+    int in_rate = atoi(argv[2]);
+    int out_rate = atoi(argv[3]);
+    int quality = atoi(argv[4]);
+    int err = 0;
+    SpeexResamplerState *st =
+        speex_resampler_init(channels, in_rate, out_rate, quality, &err);
+    if (!st)
+        die("init failed");
+    int use_direct =
+        (st->resampler_ptr == resampler_basic_direct_single ||
+         st->resampler_ptr == resampler_basic_direct_double);
+    fprintf(stdout, "%u %u %u %u %d %u %d %d %.9g %d %d\n", st->num_rate,
+            st->den_rate, st->filt_len, st->oversample, use_direct,
+            st->sinc_table_length, st->int_advance, st->frac_advance,
+            (double)st->cutoff, speex_resampler_get_input_latency(st),
+            speex_resampler_get_output_latency(st));
+    fflush(stdout);
+    fwrite(st->sinc_table, sizeof(float), st->sinc_table_length, stdout);
+    speex_resampler_destroy(st);
+    return 0;
+}
+
+/* Replicates the JS wrapper's processChunk loop (src/index.ts:50-116):
+ * for each chunk of chunk_frames frames read from in.pcm, output capacity is
+ * floor(ceil(chunk_bytes*out_rate/in_rate) / channels / 2) frames; leftover
+ * unconsumed input within a chunk is dropped, exactly like the JS layer.
+ * Writes resampled s16 interleaved PCM to out file.
+ *
+ *   process <channels> <in_rate> <out_rate> <quality> <chunk_frames>
+ *           <in.pcm> <out.pcm> [skip_zeros]
+ * chunk_frames == 0 means "whole file in one chunk".
+ */
+static int cmd_process(int argc, char **argv)
+{
+    if (argc < 8)
+        die("process <ch> <in> <out> <q> <chunk_frames> <in.pcm> <out.pcm> [skip_zeros]");
+    int channels = atoi(argv[1]);
+    int in_rate = atoi(argv[2]);
+    int out_rate = atoi(argv[3]);
+    int quality = atoi(argv[4]);
+    long chunk_frames = atol(argv[5]);
+    const char *in_path = argv[6];
+    const char *out_path = argv[7];
+    int skip_zeros = (argc > 8) ? atoi(argv[8]) : 0;
+
+    FILE *fin = fopen(in_path, "rb");
+    if (!fin)
+        die("cannot open input");
+    fseek(fin, 0, SEEK_END);
+    long nbytes = ftell(fin);
+    fseek(fin, 0, SEEK_SET);
+    int16_t *pcm = (int16_t *)malloc(nbytes);
+    if (fread(pcm, 1, nbytes, fin) != (size_t)nbytes)
+        die("short read");
+    fclose(fin);
+
+    long total_frames = nbytes / 2 / channels;
+    if (chunk_frames <= 0)
+        chunk_frames = total_frames;
+
+    int err = 0;
+    SpeexResamplerState *st =
+        speex_resampler_init(channels, in_rate, out_rate, quality, &err);
+    if (!st)
+        die("init failed");
+    if (skip_zeros)
+        speex_resampler_skip_zeros(st);
+
+    FILE *fout = fopen(out_path, "wb");
+    if (!fout)
+        die("cannot open output");
+
+    for (long pos = 0; pos < total_frames; pos += chunk_frames) {
+        long frames = total_frames - pos;
+        if (frames > chunk_frames)
+            frames = chunk_frames;
+        long chunk_bytes = frames * channels * 2;
+        /* JS: Math.ceil(chunk.length * outRate / inRate) bytes, then
+         * setValue(outLenPtr, outBufferSize / channels / 2) — float div
+         * truncated by the i32 store. */
+        long out_buf_bytes =
+            (chunk_bytes * (long)out_rate + in_rate - 1) / in_rate;
+        spx_uint32_t in_len = (spx_uint32_t)frames;
+        spx_uint32_t out_len = (spx_uint32_t)(out_buf_bytes / channels / 2);
+        int16_t *outbuf = (int16_t *)calloc((size_t)out_len * channels, 2);
+        int perr = speex_resampler_process_interleaved_int(
+            st, pcm + pos * channels, &in_len, outbuf, &out_len);
+        if (perr != 0)
+            die("process failed");
+        fwrite(outbuf, 2, (size_t)out_len * channels, fout);
+        free(outbuf);
+    }
+    fclose(fout);
+    speex_resampler_destroy(st);
+    free(pcm);
+    return 0;
+}
+
+/* Mid-stream reconfiguration scenario for magic-sample coverage:
+ *   setrate <ch> <in0> <out0> <q0> <chunk_frames> <in.pcm> <out.pcm>
+ *           <switch_chunk> <in1> <out1> <q1>
+ * Processes chunks like cmd_process; before chunk index switch_chunk it
+ * calls set_rate(in1,out1) and set_quality(q1) (exercising
+ * resample.c:1107-1145 and :1153-1163 incl. update_filter mem migration).
+ */
+static int cmd_setrate(int argc, char **argv)
+{
+    if (argc < 12)
+        die("setrate <ch> <in0> <out0> <q0> <chunk_frames> <in.pcm> <out.pcm> <switch_chunk> <in1> <out1> <q1>");
+    int channels = atoi(argv[1]);
+    int in0 = atoi(argv[2]);
+    int out0 = atoi(argv[3]);
+    int q0 = atoi(argv[4]);
+    long chunk_frames = atol(argv[5]);
+    const char *in_path = argv[6];
+    const char *out_path = argv[7];
+    long switch_chunk = atol(argv[8]);
+    int in1 = atoi(argv[9]);
+    int out1 = atoi(argv[10]);
+    int q1 = atoi(argv[11]);
+
+    FILE *fin = fopen(in_path, "rb");
+    if (!fin)
+        die("cannot open input");
+    fseek(fin, 0, SEEK_END);
+    long nbytes = ftell(fin);
+    fseek(fin, 0, SEEK_SET);
+    int16_t *pcm = (int16_t *)malloc(nbytes);
+    if (fread(pcm, 1, nbytes, fin) != (size_t)nbytes)
+        die("short read");
+    fclose(fin);
+
+    long total_frames = nbytes / 2 / channels;
+    int err = 0;
+    SpeexResamplerState *st =
+        speex_resampler_init(channels, in0, out0, q0, &err);
+    if (!st)
+        die("init failed");
+    FILE *fout = fopen(out_path, "wb");
+    if (!fout)
+        die("cannot open output");
+
+    int cur_in = in0, cur_out = out0;
+    long chunk_idx = 0;
+    for (long pos = 0; pos < total_frames; pos += chunk_frames, chunk_idx++) {
+        if (chunk_idx == switch_chunk) {
+            if (speex_resampler_set_rate(st, in1, out1) != 0)
+                die("set_rate failed");
+            if (speex_resampler_set_quality(st, q1) != 0)
+                die("set_quality failed");
+            cur_in = in1;
+            cur_out = out1;
+        }
+        long frames = total_frames - pos;
+        if (frames > chunk_frames)
+            frames = chunk_frames;
+        long chunk_bytes = frames * channels * 2;
+        long out_buf_bytes =
+            (chunk_bytes * (long)cur_out + cur_in - 1) / cur_in;
+        spx_uint32_t in_len = (spx_uint32_t)frames;
+        spx_uint32_t out_len = (spx_uint32_t)(out_buf_bytes / channels / 2);
+        /* +64 slack: after a rate switch magic samples may produce extra
+         * output; the JS wrapper never switches rates so there is no wrapper
+         * behavior to match — give the core room and record what it emits. */
+        out_len += 64;
+        int16_t *outbuf = (int16_t *)calloc((size_t)out_len * channels, 2);
+        int perr = speex_resampler_process_interleaved_int(
+            st, pcm + pos * channels, &in_len, outbuf, &out_len);
+        if (perr != 0)
+            die("process failed");
+        uint32_t n = out_len;
+        fwrite(&n, 4, 1, fout); /* record per-chunk output count */
+        fwrite(outbuf, 2, (size_t)out_len * channels, fout);
+        free(outbuf);
+    }
+    fclose(fout);
+    speex_resampler_destroy(st);
+    free(pcm);
+    return 0;
+}
+
+int main(int argc, char **argv)
+{
+    if (argc < 2)
+        die("usage: oracle <tables|process|setrate> ...");
+    if (!strcmp(argv[1], "tables"))
+        return cmd_tables(argc - 1, argv + 1);
+    if (!strcmp(argv[1], "process"))
+        return cmd_process(argc - 1, argv + 1);
+    if (!strcmp(argv[1], "setrate"))
+        return cmd_setrate(argc - 1, argv + 1);
+    die("unknown command");
+    return 1;
+}
