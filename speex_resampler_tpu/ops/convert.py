@@ -1,0 +1,33 @@
+"""Sample-format conversion with exact reference rounding semantics.
+
+The float build of the reference keeps internal samples as float32 **on the
+±32768 int16 scale** (not normalized): s16 input is copied verbatim into the
+float filter memory (resample.c:1000-1006) and converted back with WORD2INT
+(arch.h:208-209) on output (resample.c:1018-1023).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["s16_to_internal", "word2int"]
+
+
+def s16_to_internal(x, dtype=jnp.float32):
+    """s16 → internal float scale (identity scaling, resample.c:1005)."""
+    return x.astype(dtype)
+
+
+def word2int(x):
+    """WORD2INT (arch.h:208-209):
+        x < -32767.5 → -32768 ; x > 32766.5 → 32767 ;
+        else int16(floor(0.5 + x)).
+    ``floor(0.5 + x)`` is round-half-up, NOT round-to-nearest-even; it must
+    be spelled out (jnp.round would tie-to-even).  Computed in x's dtype
+    (f32 on TPU; callers may pass f64 on CPU for the tightest match to the
+    C double-promoted floor).
+    """
+    y = jnp.floor(x.dtype.type(0.5) + x)
+    y = jnp.where(x < x.dtype.type(-32767.5), x.dtype.type(-32768.0), y)
+    y = jnp.where(x > x.dtype.type(32766.5), x.dtype.type(32767.0), y)
+    return y.astype(jnp.int16)
