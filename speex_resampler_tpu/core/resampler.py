@@ -32,6 +32,7 @@ from ..ops import filter_design as fd
 from ..ops import phase as ph
 from ..ops import fir_matmul as fm
 from ..utils.errors import ResamplerError, ResamplerErrorCode
+from ..utils.host import to_host
 
 __all__ = ["ResamplerCore"]
 
@@ -368,7 +369,7 @@ class ResamplerCore:
         xp[:, :m] = Xs[:, :m]
         w = self._weights.get(spec, f0, group)
         y = fm.resample_conv(jnp.asarray(xp), w, stride=stride)
-        return np.asarray(y)[:, :n_out]
+        return to_host(y)[:, :n_out]
 
     @staticmethod
     def _blocks_bucket(n_blocks: int) -> int:
@@ -393,4 +394,4 @@ class ResamplerCore:
         taps = spec.phase_table[p]  # [n_pad, N] host gather
         y = fm.resample_gather(jnp.asarray(X), jnp.asarray(taps),
                                jnp.asarray(s), tile=tile)
-        return np.asarray(y)[:, :n_out]
+        return to_host(y)[:, :n_out]

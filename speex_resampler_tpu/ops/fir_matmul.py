@@ -31,8 +31,8 @@ from jax import lax
 
 from .convert import word2int
 
-__all__ = ["choose_group", "resample_conv", "resample_gather",
-           "MAX_PADDED_WEIGHT_BYTES"]
+__all__ = ["choose_group", "resample_conv", "resample_conv_tm",
+           "resample_gather", "MAX_PADDED_WEIGHT_BYTES"]
 
 # Above this padded-weight size the gather fallback is used instead.
 MAX_PADDED_WEIGHT_BYTES = 32 * 1024 * 1024
@@ -85,6 +85,31 @@ def resample_conv(x, w, *, stride: int, accum_dtype=jnp.float32):
                 precision=lax.Precision.HIGHEST,
                 preferred_element_type=accum_dtype)    # [batch*B, R]
     return word2int(y).reshape(batch, n_blocks * R)
+
+
+@partial(jax.jit, static_argnames=("stride", "accum_dtype"))
+def resample_conv_tm(x, w, *, stride: int, accum_dtype=jnp.float32):
+    """Time-major twin of :func:`resample_conv` (same math, x transposed);
+    the layout the batched engine and the Pallas kernel use.
+
+    x: int16[T, B], T % stride == 0; w: f32[L, R], L % stride == 0.
+    returns int16[n_blocks*R, B], n_blocks = T//stride - L//stride.
+    """
+    L, R = w.shape
+    T, B = x.shape
+    assert T % stride == 0 and L % stride == 0, (T, L, stride)
+    A = L // stride
+    n_blocks = T // stride - A
+    xr = x.reshape(T // stride, stride, B)
+    wA = w.reshape(A, stride, R).transpose(0, 2, 1).astype(jnp.float32)
+    acc = jnp.zeros((n_blocks, R, B), dtype=accum_dtype)
+    for a in range(A):
+        xa = lax.dynamic_slice_in_dim(xr, a, n_blocks, axis=0)
+        acc = acc + jnp.einsum(
+            "rs,nsb->nrb", wA[a], xa.astype(jnp.float32),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=accum_dtype)
+    return word2int(acc).reshape(n_blocks * R, B)
 
 
 @partial(jax.jit, static_argnames=("tile", "accum_dtype"))

@@ -1,0 +1,315 @@
+"""Batched multi-stream serving engine — the flagship TPU hot path.
+
+The reference processes one stream per ``SpeexResamplerState`` with a serial
+per-channel loop (resample.c:1061-1082); concurrency is left to the caller.
+Here, S concurrent streams × C channels become one batch axis of B = S*C
+independent lanes resampled in a single device launch (BASELINE.json:
+"1024 concurrent stereo streams resampled in one Pallas launch").
+
+Steady-state design: every launch consumes exactly ``n_blocks * group * num``
+input frames per lane.  Because ``den`` outputs always consume exactly
+``num`` inputs, the fractional phase ``samp_frac_num`` and the relative
+window origin return to their initial values after every launch — so the
+compiled step function has fully static shapes and constant weights, and one
+XLA/Pallas program serves the engine forever:
+
+    step: (history i16[B, N-1], x i16[B, n_in]) -> (history', y i16[B, n_out])
+
+with n_out = n_blocks * group * den.  History is donated and stays on
+device; the only host↔device traffic is the s16 chunk in and the s16 result
+out (4 bytes/sample total — the same two copies the reference makes across
+the wasm heap, src/index.ts:92,111-115).
+
+An internal staging buffer accumulates arbitrary caller chunk sizes up to
+the launch quantum.  Output samples are identical to per-chunk processing
+(chunking-invariance is asserted by tests/test_streaming.py); only
+availability latency changes, bounded by one launch quantum.
+
+Multi-chip scaling: streams are embarrassingly parallel, so the engine
+optionally shards the lane axis across a ``jax.sharding.Mesh`` — data
+parallelism over ICI with zero collectives in the math (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import filter_design as fd
+from ..ops import phase as ph
+from ..ops import fir_matmul as fm
+from ..utils.errors import ResamplerError, ResamplerErrorCode
+from ..utils.host import to_host
+
+__all__ = ["BatchedResampler", "make_batched_step", "BatchSpec"]
+
+
+@dataclasses.dataclass(frozen=True)
+class BatchSpec:
+    """Static launch geometry for one (ratio, quality) config."""
+    num: int
+    den: int
+    quality: int
+    filt_len: int
+    group: int          # super-block factor G
+    n_blocks: int       # super-blocks per launch
+    f0: int             # fractional phase at every launch start
+
+    @property
+    def stride(self) -> int:
+        return self.group * self.num
+
+    @property
+    def in_per_launch(self) -> int:
+        """Input frames consumed per lane per launch."""
+        return self.n_blocks * self.stride
+
+    @property
+    def out_per_launch(self) -> int:
+        """Output frames produced per lane per launch."""
+        return self.n_blocks * self.group * self.den
+
+
+def _launch_geometry(spec: fd.FilterSpec, target_in_frames: int) -> BatchSpec:
+    group = fm.choose_group(spec.num, spec.den, spec.filt_len)
+    stride = group * spec.num
+    n_blocks = max(1, round(target_in_frames / stride))
+    return BatchSpec(num=spec.num, den=spec.den, quality=spec.quality,
+                     filt_len=spec.filt_len, group=group, n_blocks=n_blocks,
+                     f0=0)
+
+
+def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
+                      use_pallas: bool | None = None,
+                      pallas_interpret: bool = False):
+    """Build the jitted steady-state step function and its weight matrix.
+
+    Time-major layout (lanes on the 128-wide minor axis — see
+    ops/pallas_fir.py):
+        step(hist i16[N-1, B], x i16[n_in, B], W) -> (hist', y i16[n_out, B])
+    ``B`` is free (any batch size re-traces once per size).  The weight
+    matrix rides as an operand so shardings propagate (it is replicated
+    under a mesh; history/x/y shard on their lane axis).
+    """
+    N = spec.filt_len
+    stride = bspec.stride
+    n_in = bspec.in_per_launch
+
+    w_np = ph.build_padded_weights(spec.phase_table, spec.num, spec.den,
+                                   bspec.f0, bspec.group)
+    L_pad = -(-w_np.shape[0] // stride) * stride
+    if L_pad != w_np.shape[0]:
+        w_np = np.pad(w_np, ((0, L_pad - w_np.shape[0]), (0, 0)))
+    A = L_pad // stride
+    # patch construction reads (A + n_blocks) * stride samples
+    T = (bspec.n_blocks + A) * stride
+    pad = T - (N - 1 + n_in)
+    assert pad >= 0
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from ..ops import pallas_fir
+        conv = functools.partial(pallas_fir.resample_conv_tm_pallas,
+                                 stride=stride, interpret=pallas_interpret)
+    else:
+        conv = functools.partial(fm.resample_conv_tm, stride=stride)
+
+    n_out = bspec.out_per_launch
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(hist, x, w):
+        X = jnp.concatenate(
+            [hist, x, jnp.zeros((pad, x.shape[1]), dtype=jnp.int16)], axis=0)
+        y = conv(X, w)[:n_out]
+        return jax.lax.dynamic_slice_in_dim(X, n_in, N - 1, axis=0), y
+
+    return step, jnp.asarray(w_np)
+
+
+class BatchedResampler:
+    """Resample S identical-config streams (C channels each) in lockstep.
+
+    All lanes share (in_rate, out_rate, quality) — heterogeneous fleets are
+    bucketed by config, one engine per bucket (SURVEY.md §7 hard part 6).
+
+    Bit-parity contract: each lane's output sequence equals the reference's
+    ``speex_resampler_process_int`` output for that lane's sample sequence
+    (within the 1-LSB bound), asserted by tests/test_batch.py against the
+    single-stream core.
+
+    Parameters
+    ----------
+    n_streams, channels : lane geometry; B = n_streams * channels.
+    target_chunk_frames : desired input frames per lane per launch; rounded
+        to the launch quantum (a multiple of ``group*num``).
+    mesh / axis : optional ``jax.sharding.Mesh`` and axis name to shard the
+        lane axis across devices (B must divide evenly).
+    """
+
+    def __init__(self, n_streams: int, channels: int, in_rate: int,
+                 out_rate: int, quality: int = 7, *,
+                 target_chunk_frames: int = 4096,
+                 mesh: jax.sharding.Mesh | None = None,
+                 axis: str = "streams",
+                 use_pallas: bool | None = None,
+                 pallas_interpret: bool = False):
+        if n_streams <= 0 or channels <= 0:
+            raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
+        if in_rate <= 0 or out_rate <= 0:
+            raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
+        self.n_streams = n_streams
+        self.channels = channels
+        self.in_rate = in_rate
+        self.out_rate = out_rate
+        g = math.gcd(in_rate, out_rate)
+        self.spec = fd.design_filter(in_rate // g, out_rate // g, quality)
+        self.bspec = _launch_geometry(self.spec, target_chunk_frames)
+        self.B = n_streams * channels
+
+        self._step, w = make_batched_step(self.spec, self.bspec,
+                                          use_pallas=use_pallas,
+                                          pallas_interpret=pallas_interpret)
+        N = self.spec.filt_len
+        # time-major: lanes ride the minor (128-wide) axis on device
+        hist = jnp.zeros((N - 1, self.B), dtype=jnp.int16)
+        if mesh is not None:
+            P = jax.sharding.PartitionSpec
+            lane_sh = jax.sharding.NamedSharding(mesh, P(None, axis))
+            repl_sh = jax.sharding.NamedSharding(mesh, P())
+            hist = jax.device_put(hist, lane_sh)
+            w = jax.device_put(w, repl_sh)
+            self._lane_sharding = lane_sh
+        else:
+            self._lane_sharding = None
+        self._hist = hist
+        self._w = w
+        self._skip = 0
+        # staging buffer of not-yet-launched input frames, [*, B] host int16
+        self._staged = np.zeros((0, self.B), dtype=np.int16)
+
+    # -- geometry --------------------------------------------------------
+
+    @property
+    def in_frames_per_launch(self) -> int:
+        return self.bspec.in_per_launch
+
+    @property
+    def out_frames_per_launch(self) -> int:
+        return self.bspec.out_per_launch
+
+    def input_latency(self) -> int:
+        return self.spec.input_latency
+
+    def output_latency(self) -> int:
+        return self.spec.output_latency
+
+    def skip_zeros(self):
+        """Swallow the leading filter delay (resample.c:1200-1206).
+
+        Setting ``last_sample = filt_len//2`` on zeroed history is exactly
+        equivalent to shifting the window origin right by k = filt_len//2:
+        the effective sample axis becomes zeros(N-1-k) ++ input.  The engine
+        realises that by feeding each lane's first k input frames into the
+        *tail of its history* instead of staging them (see ``process``).
+        Only valid before any input is staged, like a fresh reference state.
+        """
+        if self._staged.shape[0]:
+            raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
+        self._skip = self.spec.filt_len // 2
+
+    def reset_mem(self):
+        """resample.c:1208-1220."""
+        self._hist = jnp.zeros_like(self._hist)
+        if self._lane_sharding is not None:
+            self._hist = jax.device_put(self._hist, self._lane_sharding)
+        self._staged = np.zeros((0, self.B), dtype=np.int16)
+        self._skip = 0
+
+    # -- processing ------------------------------------------------------
+
+    def process(self, frames: np.ndarray) -> np.ndarray:
+        """frames: int16 [S, n, C] (or time-major lanes [n, B]) → int16
+        [S, m, C] (or [m, B]).
+
+        Stages input and runs as many full launches as are available; m is
+        a multiple of out_frames_per_launch (possibly 0).  Call flush() at
+        end-of-stream to drain the remainder.
+        """
+        x = self._to_lanes(frames)
+        if self._skip:
+            # fold the first k frames into the history tail (see skip_zeros)
+            k = min(self._skip, x.shape[0])
+            absorbed = jnp.asarray(np.ascontiguousarray(x[:k]))
+            if self._lane_sharding is not None:
+                absorbed = jax.device_put(absorbed, self._lane_sharding)
+            self._hist = jnp.concatenate([self._hist[k:], absorbed], axis=0)
+            x = x[k:]
+            self._skip -= k
+        self._staged = np.concatenate([self._staged, x], axis=0)
+        outs = []
+        q = self.bspec.in_per_launch
+        while self._staged.shape[0] >= q:
+            chunk, self._staged = self._staged[:q], self._staged[q:]
+            self._hist, y = self._launch(chunk)
+            outs.append(to_host(y))
+        if outs:
+            return self._from_lanes(np.concatenate(outs, axis=0), frames)
+        return self._from_lanes(np.zeros((0, self.B), dtype=np.int16),
+                                frames)
+
+    def flush(self) -> np.ndarray:
+        """Drain staged frames (zero-padded to one launch quantum); returns
+        only the outputs whose windows start within the real input, in
+        [S, m, C] layout."""
+        n = self._staged.shape[0]
+        if n == 0:
+            return np.zeros((self.n_streams, 0, self.channels), np.int16)
+        q = self.bspec.in_per_launch
+        chunk = np.zeros((q, self.B), dtype=np.int16)
+        chunk[:n] = self._staged
+        self._staged = np.zeros((0, self.B), dtype=np.int16)
+        n_out = ph.producible_outputs(n, 0, self.bspec.f0, self.spec.num,
+                                      self.spec.den)
+        self._hist, y = self._launch(chunk)
+        out = to_host(y)[:n_out]
+        return self._lanes_to_frames(out)
+
+    def _launch(self, chunk_np: np.ndarray):
+        x = jnp.asarray(chunk_np)
+        if self._lane_sharding is not None:
+            x = jax.device_put(x, self._lane_sharding)
+        hist, y = self._step(self._hist, x, self._w)
+        # np.asarray on a not-yet-ready donated-jit output can deadlock on
+        # some backends; readiness must be explicit before host conversion
+        return hist, y.block_until_ready()
+
+    # -- layout helpers ---------------------------------------------------
+    # lane l = stream*channels + channel; time-major [n, B] on device.
+
+    def _to_lanes(self, frames: np.ndarray) -> np.ndarray:
+        frames = np.asarray(frames, dtype=np.int16)
+        if frames.ndim == 2:  # already time-major lanes [n, B]
+            if frames.shape[1] != self.B:
+                raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
+            return frames
+        if frames.ndim != 3 or frames.shape[0] != self.n_streams \
+                or frames.shape[2] != self.channels:
+            raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
+        # [S, n, C] -> [n, S*C]
+        return np.ascontiguousarray(
+            frames.transpose(1, 0, 2).reshape(frames.shape[1], self.B))
+
+    def _lanes_to_frames(self, lanes: np.ndarray) -> np.ndarray:
+        return lanes.reshape(-1, self.n_streams, self.channels).transpose(
+            1, 0, 2)
+
+    def _from_lanes(self, lanes: np.ndarray, like: np.ndarray) -> np.ndarray:
+        if np.asarray(like).ndim == 2:
+            return lanes
+        return self._lanes_to_frames(lanes)

@@ -1,0 +1,171 @@
+"""Batched multi-stream engine parity and sharding tests.
+
+The contract (BASELINE.json "Batched serving" config): a batch of S streams
+produces, per stream, the same samples as S independent single-stream
+resamplers — which are themselves golden-tested against the C oracle in
+test_golden.py.  Comparisons allow the 1-LSB rounding-tie bound
+(conftest.assert_lsb_close), since launch-quantum chunking regroups the f32
+accumulation.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from speex_resampler_tpu.core.resampler import ResamplerCore
+from speex_resampler_tpu.parallel.batch import BatchedResampler
+from speex_resampler_tpu.ops import fir_matmul as fm
+from speex_resampler_tpu.ops import pallas_fir as pf
+from speex_resampler_tpu.ops import filter_design as fd
+from speex_resampler_tpu.ops import phase as ph
+from speex_resampler_tpu.utils.host import to_host
+
+from conftest import assert_lsb_close
+
+
+def _random_frames(S, n, C, seed=0):
+    rng = np.random.default_rng(seed)
+    # music-scale PCM, keeps outputs clear of the saturation clamp
+    return (rng.integers(-32768, 32768, size=(S, n, C)) // 2).astype(np.int16)
+
+
+def _core_reference(frames, in_rate, out_rate, quality):
+    """Per-stream single-core outputs (golden-tested path)."""
+    S = frames.shape[0]
+    outs = []
+    for s in range(S):
+        core = ResamplerCore(frames.shape[2], in_rate, out_rate, in_rate,
+                             out_rate, quality)
+        outs.append(core.process_interleaved(frames[s], 10**9))
+    n = min(o.shape[0] for o in outs)
+    return np.stack([o[:n] for o in outs])
+
+
+@pytest.mark.parametrize("in_rate,out_rate,quality", [
+    (44100, 48000, 7),    # interpolated path, the flagship config
+    (24000, 48000, 5),    # direct path, integer upsample
+    (44100, 24000, 5),    # downsampling
+])
+def test_batched_matches_single_stream(in_rate, out_rate, quality):
+    S, C, n = 3, 2, 9000
+    frames = _random_frames(S, n, C, seed=quality)
+    eng = BatchedResampler(S, C, in_rate, out_rate, quality,
+                           target_chunk_frames=1024, use_pallas=False)
+    out = eng.process(frames)
+    tail = eng.flush()
+    full = np.concatenate([out, tail], axis=1)
+    ref = _core_reference(frames, in_rate, out_rate, quality)
+    m = min(full.shape[1], ref.shape[1])
+    assert abs(full.shape[1] - ref.shape[1]) <= 1
+    assert_lsb_close(full[:, :m].ravel(), ref[:, :m].ravel())
+
+
+def test_batched_chunking_invariance():
+    """Feeding tiny irregular chunks == feeding everything at once."""
+    S, C = 2, 1
+    frames = _random_frames(S, 7000, C, seed=3)
+    eng1 = BatchedResampler(S, C, 44100, 48000, 7, use_pallas=False)
+    a = np.concatenate([eng1.process(frames), eng1.flush()], axis=1)
+
+    eng2 = BatchedResampler(S, C, 44100, 48000, 7, use_pallas=False)
+    outs, pos = [], 0
+    rng = np.random.default_rng(0)
+    while pos < frames.shape[1]:
+        step = int(rng.integers(1, 997))
+        outs.append(eng2.process(frames[:, pos:pos + step]))
+        pos += step
+    outs.append(eng2.flush())
+    b = np.concatenate(outs, axis=1)
+    assert np.array_equal(a, b)
+
+
+def test_batched_skip_zeros_matches_core():
+    S, C = 2, 1
+    frames = _random_frames(S, 6000, C, seed=4)
+    eng = BatchedResampler(S, C, 24000, 48000, 5,
+                           target_chunk_frames=512, use_pallas=False)
+    eng.skip_zeros()
+    full = np.concatenate([eng.process(frames), eng.flush()], axis=1)
+
+    outs = []
+    for s in range(S):
+        core = ResamplerCore(C, 24000, 48000, 24000, 48000, 5)
+        core.skip_zeros()
+        outs.append(core.process_interleaved(frames[s], 10**9))
+    n = min(o.shape[0] for o in outs)
+    ref = np.stack([o[:n] for o in outs])
+    m = min(full.shape[1], ref.shape[1])
+    assert m > 0
+    assert_lsb_close(full[:, :m].ravel(), ref[:, :m].ravel())
+
+
+def test_batched_reset_mem():
+    S, C = 2, 2
+    frames = _random_frames(S, 5000, C, seed=5)
+    eng = BatchedResampler(S, C, 44100, 48000, 7, use_pallas=False)
+    a = np.concatenate([eng.process(frames), eng.flush()], axis=1)
+    eng.reset_mem()
+    b = np.concatenate([eng.process(frames), eng.flush()], axis=1)
+    assert np.array_equal(a, b)
+
+
+def test_pallas_kernel_matches_xla():
+    """resample_conv_tm_pallas (interpret mode) vs the XLA time-major path
+    and a float64 ground truth, on the flagship Q7 44.1k->48k filter."""
+    rng = np.random.default_rng(1)
+    spec = fd.design_filter(147, 160, 7)
+    stride = 147
+    w = ph.build_padded_weights(spec.phase_table, 147, 160, 0, 1)
+    L_pad = -(-w.shape[0] // stride) * stride
+    w = np.pad(w, ((0, L_pad - w.shape[0]), (0, 0)))
+    n_blocks, B = 4, 136   # B deliberately not a multiple of 128
+    A = L_pad // stride
+    T = (n_blocks + A) * stride
+    x = (rng.integers(-32768, 32768, size=(T, B)) // 2).astype(np.int16)
+
+    y_tm = to_host(fm.resample_conv_tm(jnp.asarray(x), jnp.asarray(w),
+                                       stride=stride))
+    y_pl = to_host(pf.resample_conv_tm_pallas(
+        jnp.asarray(x), jnp.asarray(w), stride=stride, interpret=True,
+        lane_tile=128))
+    assert y_pl.shape == y_tm.shape == (n_blocks * 160, B)
+    assert_lsb_close(y_pl.ravel(), y_tm.ravel())
+
+    blocks = np.stack([x[b * stride:b * stride + L_pad].astype(np.float64)
+                       for b in range(n_blocks)])
+    gold = np.einsum("lr,nlb->nrb", w.astype(np.float64),
+                     blocks).reshape(n_blocks * 160, B)
+    gold = np.clip(np.floor(0.5 + gold), -32768, 32767).astype(np.int16)
+    assert_lsb_close(y_pl.ravel(), gold.ravel())
+
+
+def test_batched_engine_pallas_interpret():
+    """Whole engine through the Pallas kernel (interpret mode on CPU)."""
+    S, C = 2, 1
+    frames = _random_frames(S, 5000, C, seed=6)
+    ref_eng = BatchedResampler(S, C, 44100, 48000, 7, use_pallas=False)
+    ref = np.concatenate([ref_eng.process(frames), ref_eng.flush()], axis=1)
+    pal_eng = BatchedResampler(S, C, 44100, 48000, 7, use_pallas=True,
+                               pallas_interpret=True)
+    got = np.concatenate([pal_eng.process(frames), pal_eng.flush()], axis=1)
+    assert got.shape == ref.shape
+    assert_lsb_close(got.ravel(), ref.ravel())
+
+
+def test_batched_mesh_sharded_matches_unsharded():
+    """Lane axis sharded over an 8-device CPU mesh == single-device run."""
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = jax.sharding.Mesh(np.array(devs[:8]), ("streams",))
+    S, C = 8, 2
+    frames = _random_frames(S, 6000, C, seed=7)
+
+    plain = BatchedResampler(S, C, 44100, 48000, 7, use_pallas=False)
+    a = np.concatenate([plain.process(frames), plain.flush()], axis=1)
+
+    sharded = BatchedResampler(S, C, 44100, 48000, 7, use_pallas=False,
+                               mesh=mesh)
+    b = np.concatenate([sharded.process(frames), sharded.flush()], axis=1)
+    assert np.array_equal(a, b)
