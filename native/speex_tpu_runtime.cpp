@@ -1,0 +1,224 @@
+// speex_tpu_runtime — native host runtime for the TPU resampler fleet.
+//
+// Role: the host-side counterpart of the reference's C runtime plumbing.
+// Where the reference stages one stream's bytes across the wasm heap
+// (src/index.ts:71-115) and re-aligns stream chunks in JS
+// (src/index.ts:139-161), this runtime manages a *fleet*: per-stream FIFO
+// ring buffers accept ragged pushes (bytes or frames), and full launch
+// quanta are gathered/transposed into the time-major [n_in, B] int16 slab
+// the device step consumes (lane l = stream*channels + channel; see
+// speex_resampler_tpu/parallel/batch.py).  Output slabs [n_out, B] are
+// scattered back to per-stream interleaved PCM.
+//
+// Pure C ABI for ctypes; no dependencies beyond libc++.  All hot loops are
+// time-blocked to keep the strided slab writes cache-resident.
+//
+// Build: g++ -O3 -shared -fPIC -std=c++17 -o libspeex_tpu_runtime.so \
+//            speex_tpu_runtime.cpp
+
+#include <cstdint>
+#include <cstring>
+#include <new>
+#include <vector>
+
+namespace {
+
+// Contiguous FIFO: amortized O(1) push/consume with front compaction.
+struct Fifo {
+  std::vector<int16_t> data;
+  size_t head = 0;
+
+  size_t size() const { return data.size() - head; }
+  const int16_t* front() const { return data.data() + head; }
+
+  void push(const int16_t* src, size_t n) {
+    if (head > 0 && head >= data.size() / 2) {
+      data.erase(data.begin(), data.begin() + static_cast<long>(head));
+      head = 0;
+    }
+    data.insert(data.end(), src, src + n);
+  }
+
+  void consume(size_t n) {
+    head += n;
+    if (head >= data.size()) {
+      data.clear();
+      head = 0;
+    }
+  }
+};
+
+struct Runtime {
+  int n_streams;
+  int channels;
+  long n_in;  // frames per lane per launch (the launch quantum)
+  long B;     // n_streams * channels
+  std::vector<Fifo> fifo;                 // per stream, interleaved frames
+  std::vector<std::vector<uint8_t>> carry;  // per stream, byte-alignment
+};
+
+constexpr long kTimeTile = 64;  // rows per cache-blocked transpose tile
+
+}  // namespace
+
+extern "C" {
+
+void* srt_create(int n_streams, int channels, long n_in_per_launch) {
+  if (n_streams <= 0 || channels <= 0 || n_in_per_launch <= 0) return nullptr;
+  auto* rt = new (std::nothrow) Runtime;
+  if (!rt) return nullptr;
+  rt->n_streams = n_streams;
+  rt->channels = channels;
+  rt->n_in = n_in_per_launch;
+  rt->B = static_cast<long>(n_streams) * channels;
+  rt->fifo.resize(static_cast<size_t>(n_streams));
+  rt->carry.resize(static_cast<size_t>(n_streams));
+  return rt;
+}
+
+void srt_destroy(void* h) { delete static_cast<Runtime*>(h); }
+
+// Push n_frames interleaved frames ([n, C] int16) for one stream.
+int srt_push(void* h, int stream, const int16_t* frames, long n_frames) {
+  auto* rt = static_cast<Runtime*>(h);
+  if (!rt || stream < 0 || stream >= rt->n_streams || n_frames < 0) return -1;
+  rt->fifo[static_cast<size_t>(stream)].push(
+      frames, static_cast<size_t>(n_frames) * rt->channels);
+  return 0;
+}
+
+// Push raw bytes with the reference Transform-stream alignment-carry
+// semantics (src/index.ts:139-161): bytes that do not complete a frame are
+// held until the next push.  Returns frames accepted, or -1.
+long srt_push_bytes(void* h, int stream, const uint8_t* bytes, long n) {
+  auto* rt = static_cast<Runtime*>(h);
+  if (!rt || stream < 0 || stream >= rt->n_streams || n < 0) return -1;
+  auto& carry = rt->carry[static_cast<size_t>(stream)];
+  const long frame_bytes = rt->channels * 2;
+
+  std::vector<uint8_t> buf;
+  const uint8_t* p = bytes;
+  long total = n;
+  if (!carry.empty()) {
+    buf.reserve(carry.size() + static_cast<size_t>(n));
+    buf.insert(buf.end(), carry.begin(), carry.end());
+    buf.insert(buf.end(), bytes, bytes + n);
+    p = buf.data();
+    total = static_cast<long>(buf.size());
+    carry.clear();
+  }
+  const long frames = total / frame_bytes;
+  const long used = frames * frame_bytes;
+  if (frames > 0) {
+    // int16 little-endian on all supported hosts; frames may be unaligned
+    std::vector<int16_t> tmp(static_cast<size_t>(used) / 2);
+    std::memcpy(tmp.data(), p, static_cast<size_t>(used));
+    rt->fifo[static_cast<size_t>(stream)].push(tmp.data(), tmp.size());
+  }
+  if (total - used > 0)
+    carry.assign(p + used, p + total);
+  return frames;
+}
+
+// Staged whole frames per stream (out: long[n_streams]).
+void srt_staged(void* h, long* out) {
+  auto* rt = static_cast<Runtime*>(h);
+  for (int s = 0; s < rt->n_streams; ++s)
+    out[s] = static_cast<long>(rt->fifo[static_cast<size_t>(s)].size()) /
+             rt->channels;
+}
+
+// Number of full launch quanta available across ALL streams (lockstep).
+long srt_ready_launches(void* h) {
+  auto* rt = static_cast<Runtime*>(h);
+  long m = -1;
+  for (int s = 0; s < rt->n_streams; ++s) {
+    long f = static_cast<long>(rt->fifo[static_cast<size_t>(s)].size()) /
+             rt->channels;
+    m = (m < 0 || f < m) ? f : m;
+  }
+  return m <= 0 ? 0 : m / rt->n_in;
+}
+
+// Gather one launch quantum into the time-major slab out[n_in][B] and
+// consume the frames.  Requires srt_ready_launches() >= 1; returns -1 if
+// any stream is short.
+int srt_fill_launch(void* h, int16_t* out) {
+  auto* rt = static_cast<Runtime*>(h);
+  const int C = rt->channels;
+  const long B = rt->B, n_in = rt->n_in;
+  for (int s = 0; s < rt->n_streams; ++s)
+    if (static_cast<long>(rt->fifo[static_cast<size_t>(s)].size()) <
+        n_in * C)
+      return -1;
+  for (long t0 = 0; t0 < n_in; t0 += kTimeTile) {
+    const long t1 = (t0 + kTimeTile < n_in) ? t0 + kTimeTile : n_in;
+    for (int s = 0; s < rt->n_streams; ++s) {
+      const int16_t* src = rt->fifo[static_cast<size_t>(s)].front() + t0 * C;
+      int16_t* dst = out + t0 * B + static_cast<long>(s) * C;
+      for (long t = t0; t < t1; ++t, src += C, dst += B)
+        std::memcpy(dst, src, static_cast<size_t>(C) * 2);
+    }
+  }
+  for (int s = 0; s < rt->n_streams; ++s)
+    rt->fifo[static_cast<size_t>(s)].consume(static_cast<size_t>(n_in) * C);
+  return 0;
+}
+
+// Drain: zero-pad every stream to one launch quantum, consume everything.
+// Writes the pre-drain staged frame count per stream to staged_out
+// (long[n_streams]) so the caller can trim per-stream valid output.
+// Returns the max staged count (0 = nothing to flush, slab untouched).
+long srt_fill_flush(void* h, int16_t* out, long* staged_out) {
+  auto* rt = static_cast<Runtime*>(h);
+  const int C = rt->channels;
+  const long B = rt->B, n_in = rt->n_in;
+  long mx = 0;
+  for (int s = 0; s < rt->n_streams; ++s) {
+    long f = static_cast<long>(rt->fifo[static_cast<size_t>(s)].size()) / C;
+    if (f > n_in) f = n_in;
+    staged_out[s] = f;
+    if (f > mx) mx = f;
+  }
+  if (mx == 0) return 0;
+  std::memset(out, 0, static_cast<size_t>(n_in) * B * 2);
+  for (int s = 0; s < rt->n_streams; ++s) {
+    const long f = staged_out[s];
+    const int16_t* src = rt->fifo[static_cast<size_t>(s)].front();
+    int16_t* dst = out + static_cast<long>(s) * C;
+    for (long t = 0; t < f; ++t, src += C, dst += B)
+      std::memcpy(dst, src, static_cast<size_t>(C) * 2);
+    rt->fifo[static_cast<size_t>(s)].consume(static_cast<size_t>(f) * C);
+  }
+  return mx;
+}
+
+// Scatter a device result slab y[n_out][B] back to one stream's
+// interleaved PCM dst[n_out][C].
+void srt_unpack(void* h, const int16_t* y, long n_out, int stream,
+                int16_t* dst) {
+  auto* rt = static_cast<Runtime*>(h);
+  const int C = rt->channels;
+  const long B = rt->B;
+  const int16_t* src = y + static_cast<long>(stream) * C;
+  for (long t = 0; t < n_out; ++t, src += B, dst += C)
+    std::memcpy(dst, src, static_cast<size_t>(C) * 2);
+}
+
+// Scatter the whole slab y[n_out][B] to [S, n_out, C] (stream-major).
+void srt_unpack_all(void* h, const int16_t* y, long n_out, int16_t* dst) {
+  auto* rt = static_cast<Runtime*>(h);
+  const int C = rt->channels;
+  const long B = rt->B;
+  for (long t0 = 0; t0 < n_out; t0 += kTimeTile) {
+    const long t1 = (t0 + kTimeTile < n_out) ? t0 + kTimeTile : n_out;
+    for (int s = 0; s < rt->n_streams; ++s) {
+      const int16_t* src = y + t0 * B + static_cast<long>(s) * C;
+      int16_t* d = dst + (static_cast<long>(s) * n_out + t0) * C;
+      for (long t = t0; t < t1; ++t, src += B, d += C)
+        std::memcpy(d, src, static_cast<size_t>(C) * 2);
+    }
+  }
+}
+
+}  // extern "C"

@@ -35,8 +35,9 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["resample_conv_tm_pallas", "pick_lane_tile"]
 
 _LANE = 128
-# per-program VMEM budget for the x tile (of ~16 MB total)
-_X_TILE_BYTES = 8 * 1024 * 1024
+# per-program VMEM budget for the x tile; Pallas double-buffers grid inputs,
+# so the slab costs 2x this against the ~16 MB scoped VMEM limit
+_X_TILE_BYTES = 5 * 1024 * 1024
 
 
 def pick_lane_tile(T: int, B: int) -> int:

@@ -1,0 +1,127 @@
+"""FleetResampler — production serving front-end for many concurrent streams.
+
+Combines the native host runtime (ragged per-stream staging, native.py /
+native/speex_tpu_runtime.cpp) with the lockstep batched device step
+(parallel/batch.py): callers push bytes or frames per stream at their own
+cadence; whenever every stream has a full launch quantum staged, ``poll()``
+runs device launches and banks per-stream output PCM for ``pull()``.
+
+This is the fleet-scale equivalent of running S independent reference
+``SpeexResamplerTransform`` streams (src/index.ts:121-162) — same
+per-stream byte-alignment carry, same s16 PCM in/out — with the resampling
+itself batched onto one TPU launch per quantum (BASELINE.json: "1024
+concurrent stereo streams resampled in one Pallas launch").
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import filter_design as fd
+from ..ops import phase as ph
+from ..parallel.batch import BatchSpec, _launch_geometry, make_batched_step
+from ..utils.errors import ResamplerError, ResamplerErrorCode
+from ..utils.host import to_host
+from .native import make_stager
+
+__all__ = ["FleetResampler"]
+
+
+class FleetResampler:
+    """S homogeneous streams (same rates/quality), independent cadence."""
+
+    def __init__(self, n_streams: int, channels: int, in_rate: int,
+                 out_rate: int, quality: int = 7, *,
+                 target_chunk_frames: int = 4096,
+                 use_pallas: bool | None = None,
+                 pallas_interpret: bool = False):
+        if n_streams <= 0 or channels <= 0 or in_rate <= 0 or out_rate <= 0:
+            raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
+        self.n_streams = n_streams
+        self.channels = channels
+        self.B = n_streams * channels
+        g = math.gcd(in_rate, out_rate)
+        self.spec = fd.design_filter(in_rate // g, out_rate // g, quality)
+        self.bspec = _launch_geometry(self.spec, target_chunk_frames)
+        self._step, self._w = make_batched_step(
+            self.spec, self.bspec, use_pallas=use_pallas,
+            pallas_interpret=pallas_interpret)
+        self._hist = jnp.zeros((self.spec.filt_len - 1, self.B),
+                               dtype=jnp.int16)
+        self._stager = make_stager(n_streams, channels,
+                                   self.bspec.in_per_launch)
+        self._out: list[list[np.ndarray]] = [[] for _ in range(n_streams)]
+
+    # -- ingress ----------------------------------------------------------
+
+    def push(self, stream: int, frames: np.ndarray) -> None:
+        """frames: int16 [n, C] interleaved for one stream."""
+        self._stager.push(stream, frames)
+
+    def push_bytes(self, stream: int, data: bytes) -> int:
+        """Raw s16 PCM bytes; partial frames carry over (Transform-stream
+        alignment semantics, src/index.ts:148-154)."""
+        return self._stager.push_bytes(stream, data)
+
+    def staged(self) -> np.ndarray:
+        return self._stager.staged()
+
+    # -- execution --------------------------------------------------------
+
+    def poll(self, max_launches: int | None = None) -> int:
+        """Run up to ``max_launches`` ready device launches; returns count."""
+        n = self._stager.ready_launches()
+        if max_launches is not None:
+            n = min(n, max_launches)
+        for _ in range(n):
+            slab = self._stager.fill_launch()
+            y = self._run(slab)
+            self._bank(y, None)
+        return n
+
+    def flush(self) -> None:
+        """Drain all staged frames (zero-padding the launch quantum) and
+        bank only the outputs whose windows start within real input."""
+        self.poll()
+        slab, staged = self._stager.fill_flush()
+        if slab is None:
+            return
+        y = self._run(slab)
+        per_stream = [ph.producible_outputs(int(f), 0, self.bspec.f0,
+                                            self.spec.num, self.spec.den)
+                      for f in staged]
+        self._bank(y, per_stream)
+
+    def _run(self, slab: np.ndarray) -> np.ndarray:
+        x = jnp.asarray(slab)
+        self._hist, y = self._step(self._hist, x, self._w)
+        return to_host(y)
+
+    def _bank(self, y: np.ndarray, per_stream) -> None:
+        outs = self._stager.unpack_all(y)  # [S, n_out, C]
+        for s in range(self.n_streams):
+            o = outs[s]
+            if per_stream is not None:
+                o = o[:per_stream[s]]
+            if o.shape[0]:
+                self._out[s].append(o)
+
+    # -- egress -----------------------------------------------------------
+
+    def pending(self, stream: int) -> int:
+        return sum(o.shape[0] for o in self._out[stream])
+
+    def pull(self, stream: int) -> np.ndarray:
+        """Drain banked output for one stream: int16 [n, C]."""
+        outs = self._out[stream]
+        self._out[stream] = []
+        if not outs:
+            return np.zeros((0, self.channels), dtype=np.int16)
+        return np.concatenate(outs, axis=0)
+
+    def pull_bytes(self, stream: int) -> bytes:
+        return self.pull(stream).astype("<i2").tobytes()

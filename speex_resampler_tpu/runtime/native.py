@@ -1,0 +1,223 @@
+"""ctypes bindings for the native host runtime (native/speex_tpu_runtime.cpp).
+
+The shared library is built on demand with g++ into ``build/`` at the repo
+root (same pattern as the golden-oracle binary).  ``PyStager`` is a pure
+NumPy implementation of the identical interface, used as a fallback and as
+the behavioral reference in tests/test_runtime.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+__all__ = ["load_runtime", "NativeStager", "PyStager", "make_stager"]
+
+_REPO = Path(__file__).resolve().parent.parent.parent
+_SRC = _REPO / "native" / "speex_tpu_runtime.cpp"
+_LIB = _REPO / "build" / "libspeex_tpu_runtime.so"
+
+_lib = None
+_lib_failed = False
+
+
+def load_runtime():
+    """Build (if stale) and load the native runtime; None if unavailable."""
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    try:
+        _LIB.parent.mkdir(exist_ok=True)
+        if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                 "-o", str(_LIB), str(_SRC)],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(str(_LIB))
+    except (OSError, subprocess.CalledProcessError):
+        _lib_failed = True
+        return None
+
+    c = ctypes
+    lib.srt_create.restype = c.c_void_p
+    lib.srt_create.argtypes = [c.c_int, c.c_int, c.c_long]
+    lib.srt_destroy.argtypes = [c.c_void_p]
+    lib.srt_push.restype = c.c_int
+    lib.srt_push.argtypes = [c.c_void_p, c.c_int, c.c_void_p, c.c_long]
+    lib.srt_push_bytes.restype = c.c_long
+    lib.srt_push_bytes.argtypes = [c.c_void_p, c.c_int, c.c_void_p, c.c_long]
+    lib.srt_staged.argtypes = [c.c_void_p, c.c_void_p]
+    lib.srt_ready_launches.restype = c.c_long
+    lib.srt_ready_launches.argtypes = [c.c_void_p]
+    lib.srt_fill_launch.restype = c.c_int
+    lib.srt_fill_launch.argtypes = [c.c_void_p, c.c_void_p]
+    lib.srt_fill_flush.restype = c.c_long
+    lib.srt_fill_flush.argtypes = [c.c_void_p, c.c_void_p, c.c_void_p]
+    lib.srt_unpack.argtypes = [c.c_void_p, c.c_void_p, c.c_long, c.c_int,
+                               c.c_void_p]
+    lib.srt_unpack_all.argtypes = [c.c_void_p, c.c_void_p, c.c_long,
+                                   c.c_void_p]
+    _lib = lib
+    return _lib
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+class NativeStager:
+    """Fleet staging buffer: ragged per-stream pushes -> time-major launch
+    slabs [n_in, B] (lane = stream*channels + channel)."""
+
+    def __init__(self, n_streams: int, channels: int, n_in_per_launch: int):
+        lib = load_runtime()
+        if lib is None:
+            raise RuntimeError("native runtime unavailable")
+        self._lib = lib
+        self.n_streams = n_streams
+        self.channels = channels
+        self.n_in = n_in_per_launch
+        self.B = n_streams * channels
+        self._h = lib.srt_create(n_streams, channels, n_in_per_launch)
+        if not self._h:
+            raise MemoryError("srt_create failed")
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            self._lib.srt_destroy(h)
+            self._h = None
+
+    def push(self, stream: int, frames: np.ndarray) -> None:
+        """frames: int16 [n, C] interleaved."""
+        f = np.ascontiguousarray(frames, dtype=np.int16)
+        assert f.ndim == 2 and f.shape[1] == self.channels, f.shape
+        rc = self._lib.srt_push(self._h, stream, _ptr(f), f.shape[0])
+        if rc != 0:
+            raise ValueError(f"srt_push failed for stream {stream}")
+
+    def push_bytes(self, stream: int, data: bytes) -> int:
+        """Raw bytes with frame-alignment carry; returns frames accepted."""
+        buf = np.frombuffer(data, dtype=np.uint8)
+        buf = np.ascontiguousarray(buf)
+        n = self._lib.srt_push_bytes(self._h, stream, _ptr(buf), len(data))
+        if n < 0:
+            raise ValueError(f"srt_push_bytes failed for stream {stream}")
+        return int(n)
+
+    def staged(self) -> np.ndarray:
+        out = np.zeros(self.n_streams, dtype=np.int64)
+        self._lib.srt_staged(self._h, _ptr(out))
+        return out
+
+    def ready_launches(self) -> int:
+        return int(self._lib.srt_ready_launches(self._h))
+
+    def fill_launch(self) -> np.ndarray:
+        slab = np.empty((self.n_in, self.B), dtype=np.int16)
+        rc = self._lib.srt_fill_launch(self._h, _ptr(slab))
+        if rc != 0:
+            raise ValueError("not enough staged frames for a launch")
+        return slab
+
+    def fill_flush(self) -> tuple[np.ndarray | None, np.ndarray]:
+        """(zero-padded slab or None, pre-drain staged frames per stream)."""
+        slab = np.empty((self.n_in, self.B), dtype=np.int16)
+        staged = np.zeros(self.n_streams, dtype=np.int64)
+        mx = self._lib.srt_fill_flush(self._h, _ptr(slab), _ptr(staged))
+        if mx == 0:
+            return None, staged
+        return slab, staged
+
+    def unpack_all(self, y: np.ndarray) -> np.ndarray:
+        """y: int16 [n_out, B] -> [S, n_out, C]."""
+        y = np.ascontiguousarray(y, dtype=np.int16)
+        n_out = y.shape[0]
+        dst = np.empty((self.n_streams, n_out, self.channels), dtype=np.int16)
+        self._lib.srt_unpack_all(self._h, _ptr(y), n_out, _ptr(dst))
+        return dst
+
+    def unpack(self, y: np.ndarray, stream: int) -> np.ndarray:
+        y = np.ascontiguousarray(y, dtype=np.int16)
+        n_out = y.shape[0]
+        dst = np.empty((n_out, self.channels), dtype=np.int16)
+        self._lib.srt_unpack(self._h, _ptr(y), n_out, stream, _ptr(dst))
+        return dst
+
+
+class PyStager:
+    """NumPy reference implementation of the NativeStager interface."""
+
+    def __init__(self, n_streams: int, channels: int, n_in_per_launch: int):
+        self.n_streams = n_streams
+        self.channels = channels
+        self.n_in = n_in_per_launch
+        self.B = n_streams * channels
+        self._bufs = [np.zeros((0, channels), dtype=np.int16)
+                      for _ in range(n_streams)]
+        self._carry = [b""] * n_streams
+
+    def push(self, stream: int, frames: np.ndarray) -> None:
+        f = np.ascontiguousarray(frames, dtype=np.int16)
+        assert f.ndim == 2 and f.shape[1] == self.channels, f.shape
+        self._bufs[stream] = np.concatenate([self._bufs[stream], f])
+
+    def push_bytes(self, stream: int, data: bytes) -> int:
+        data = self._carry[stream] + data
+        self._carry[stream] = b""
+        fb = self.channels * 2
+        extra = len(data) % fb
+        if extra:
+            self._carry[stream] = data[len(data) - extra:]
+            data = data[:len(data) - extra]
+        frames = np.frombuffer(data, dtype="<i2").reshape(-1, self.channels)
+        self.push(stream, frames)
+        return frames.shape[0]
+
+    def staged(self) -> np.ndarray:
+        return np.array([b.shape[0] for b in self._bufs], dtype=np.int64)
+
+    def ready_launches(self) -> int:
+        return int(self.staged().min()) // self.n_in
+
+    def fill_launch(self) -> np.ndarray:
+        if self.ready_launches() < 1:
+            raise ValueError("not enough staged frames for a launch")
+        slab = np.empty((self.n_in, self.B), dtype=np.int16)
+        for s in range(self.n_streams):
+            slab[:, s * self.channels:(s + 1) * self.channels] = \
+                self._bufs[s][:self.n_in]
+            self._bufs[s] = self._bufs[s][self.n_in:]
+        return slab
+
+    def fill_flush(self) -> tuple[np.ndarray | None, np.ndarray]:
+        staged = np.minimum(self.staged(), self.n_in)
+        if staged.max() == 0:
+            return None, staged
+        slab = np.zeros((self.n_in, self.B), dtype=np.int16)
+        for s in range(self.n_streams):
+            f = int(staged[s])
+            slab[:f, s * self.channels:(s + 1) * self.channels] = \
+                self._bufs[s][:f]
+            self._bufs[s] = self._bufs[s][f:]
+        return slab, staged
+
+    def unpack_all(self, y: np.ndarray) -> np.ndarray:
+        n_out = y.shape[0]
+        return np.ascontiguousarray(
+            y.reshape(n_out, self.n_streams, self.channels).transpose(
+                1, 0, 2))
+
+    def unpack(self, y: np.ndarray, stream: int) -> np.ndarray:
+        c = self.channels
+        return np.ascontiguousarray(y[:, stream * c:(stream + 1) * c])
+
+
+def make_stager(n_streams: int, channels: int, n_in_per_launch: int):
+    """Native stager when buildable, NumPy fallback otherwise."""
+    if load_runtime() is not None:
+        return NativeStager(n_streams, channels, n_in_per_launch)
+    return PyStager(n_streams, channels, n_in_per_launch)

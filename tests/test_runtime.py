@@ -1,0 +1,139 @@
+"""Native host runtime (C++ stager) and FleetResampler tests.
+
+The native stager must behave identically to the NumPy reference
+implementation (PyStager), and the fleet front-end must reproduce the
+single-stream golden-tested core per stream.
+"""
+
+import numpy as np
+import pytest
+
+from speex_resampler_tpu.core.resampler import ResamplerCore
+from speex_resampler_tpu.runtime.native import (NativeStager, PyStager,
+                                                load_runtime)
+from speex_resampler_tpu.runtime.fleet import FleetResampler
+
+from conftest import assert_lsb_close
+
+pytestmark = pytest.mark.skipif(load_runtime() is None,
+                                reason="native runtime not buildable")
+
+
+def _both(S, C, q):
+    return NativeStager(S, C, q), PyStager(S, C, q)
+
+
+def test_stager_fill_launch_matches_numpy():
+    rng = np.random.default_rng(0)
+    S, C, q = 3, 2, 100
+    nat, ref = _both(S, C, q)
+    for rep in range(4):
+        for s in range(S):
+            n = int(rng.integers(30, 200))
+            f = rng.integers(-1000, 1000, size=(n, C)).astype(np.int16)
+            nat.push(s, f)
+            ref.push(s, f)
+        assert np.array_equal(nat.staged(), ref.staged())
+        assert nat.ready_launches() == ref.ready_launches()
+        while ref.ready_launches():
+            a = nat.fill_launch()
+            b = ref.fill_launch()
+            assert np.array_equal(a, b)
+    assert np.array_equal(nat.staged(), ref.staged())
+
+
+def test_stager_push_bytes_alignment_carry():
+    S, C, q = 2, 2, 50
+    nat, ref = _both(S, C, q)
+    rng = np.random.default_rng(1)
+    data = rng.integers(-500, 500, size=(333, C)).astype("<i2").tobytes()
+    # split at arbitrary byte boundaries (not frame-aligned)
+    cuts = sorted(rng.integers(1, len(data), size=7))
+    pieces = [data[a:b] for a, b in zip([0] + cuts, cuts + [len(data)])]
+    for p in pieces:
+        na = nat.push_bytes(0, p)
+        nb = ref.push_bytes(0, p)
+        assert na == nb
+    assert nat.staged()[0] == ref.staged()[0] == 333
+
+
+def test_stager_flush_and_unpack():
+    rng = np.random.default_rng(2)
+    S, C, q = 4, 2, 64
+    nat, ref = _both(S, C, q)
+    for s in range(S):
+        n = int(rng.integers(1, q))  # every stream short of a launch
+        f = rng.integers(-1000, 1000, size=(n, C)).astype(np.int16)
+        nat.push(s, f)
+        ref.push(s, f)
+    a_slab, a_staged = nat.fill_flush()
+    b_slab, b_staged = ref.fill_flush()
+    assert np.array_equal(a_staged, b_staged)
+    assert np.array_equal(a_slab, b_slab)
+    # nothing left
+    assert nat.ready_launches() == 0 and nat.staged().max() == 0
+
+    y = rng.integers(-1000, 1000, size=(37, S * C)).astype(np.int16)
+    assert np.array_equal(nat.unpack_all(y), ref.unpack_all(y))
+    for s in range(S):
+        assert np.array_equal(nat.unpack(y, s), ref.unpack(y, s))
+
+
+def test_stager_empty_flush():
+    nat = NativeStager(2, 1, 32)
+    slab, staged = nat.fill_flush()
+    assert slab is None and staged.max() == 0
+
+
+def test_fleet_matches_single_stream_core():
+    rng = np.random.default_rng(3)
+    S, C = 3, 2
+    n = 9000
+    frames = (rng.integers(-32768, 32768, size=(S, n, C)) // 2).astype(
+        np.int16)
+    fleet = FleetResampler(S, C, 44100, 48000, 7,
+                           target_chunk_frames=1024, use_pallas=False)
+    # ragged pushes at per-stream cadence
+    pos = [0] * S
+    while min(pos) < n:
+        for s in range(S):
+            step = int(rng.integers(100, 900))
+            nxt = min(pos[s] + step, n)
+            if nxt > pos[s]:
+                fleet.push(s, frames[s, pos[s]:nxt])
+                pos[s] = nxt
+        fleet.poll()
+    fleet.flush()
+
+    for s in range(S):
+        got = fleet.pull(s)
+        core = ResamplerCore(C, 44100, 48000, 44100, 48000, 7)
+        ref = core.process_interleaved(frames[s], 10**9)
+        m = min(got.shape[0], ref.shape[0])
+        assert abs(got.shape[0] - ref.shape[0]) <= 1
+        assert_lsb_close(got[:m].ravel(), ref[:m].ravel())
+        assert fleet.pull(s).shape[0] == 0  # drained
+
+
+def test_fleet_push_bytes_roundtrip():
+    rng = np.random.default_rng(4)
+    S, C = 2, 1
+    n = 5000
+    frames = (rng.integers(-32768, 32768, size=(S, n, C)) // 2).astype(
+        np.int16)
+    fleet = FleetResampler(S, C, 24000, 48000, 5,
+                           target_chunk_frames=512, use_pallas=False)
+    for s in range(S):
+        raw = frames[s].astype("<i2").tobytes()
+        cuts = sorted(rng.integers(1, len(raw), size=5))
+        for a, b in zip([0] + cuts, cuts + [len(raw)]):
+            fleet.push_bytes(s, raw[a:b])
+    fleet.poll()
+    fleet.flush()
+    for s in range(S):
+        got = fleet.pull(s)
+        core = ResamplerCore(C, 24000, 48000, 24000, 48000, 5)
+        ref = core.process_interleaved(frames[s], 10**9)
+        m = min(got.shape[0], ref.shape[0])
+        assert m > 0
+        assert_lsb_close(got[:m].ravel(), ref[:m].ravel())
