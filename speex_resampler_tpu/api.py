@@ -99,6 +99,21 @@ class SpeexResampler:
     # JS-style alias
     processChunk = process_chunk
 
+    def process_chunk_float(self, samples: "np.ndarray") -> "np.ndarray":
+        """Float-sample path (speex_resampler_process_interleaved_float,
+        resample.c:1037-1059): f32 samples on the ±32768 scale, interleaved
+        [n, channels] (or flat [n*channels]); returns f32 [m, channels].
+        No WORD2INT on output — raw filter sums, like the C float API."""
+        x = np.asarray(samples, dtype=np.float32)
+        if x.ndim == 1:
+            if self.channels <= 0 or x.size % self.channels:
+                raise ValueError(
+                    "Chunk length should be a multiple of channels")
+            x = x.reshape(-1, self.channels)
+        core = self._ensure_core()
+        capacity = math.ceil(x.shape[0] * self.out_rate / self.in_rate) + 1
+        return core.process_interleaved_float(x, capacity)
+
     # -- full runtime API parity (C surface, speex_resampler.h) ---------
 
     def set_rate(self, in_rate: int, out_rate: int):

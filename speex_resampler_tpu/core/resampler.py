@@ -6,9 +6,10 @@ resample.c:116-146, and the process pipeline :878-1082) with:
   - host-mirrored integer phase state (last_sample / samp_frac_num /
     magic_samples per channel) that evolves deterministically from chunk
     sizes — no device→host scalar syncs ever;
-  - an int16 history/pending buffer per channel (the reference's float
-    ``mem`` holds exact s16 values, resample.c:1000-1006, so int16 state is
-    lossless);
+  - a float32 history/pending buffer per channel, exactly the dtype of the
+    reference's ``mem`` (float build): s16 input enters it losslessly
+    (resample.c:1000-1006) and the float-sample API
+    (speex_resampler_process_float) stores floats verbatim;
   - per-launch device execution of *all* producible outputs as one
     phase-indexed strided matmul (ops/fir_matmul.py) — the reference's
     160-sample overlap-save bites (buffer_size, resample.c:835, :988-1030)
@@ -87,9 +88,11 @@ class ResamplerCore:
         self.samp_frac_num = np.zeros(C, dtype=np.int64)
         self.magic_samples = np.zeros(C, dtype=np.int64)
         # mem[c] = history (filt_len-1 samples) ++ pending magic samples
-        self._history = [np.zeros(0, dtype=np.int16) for _ in range(C)]
-        self._pending = [np.zeros(0, dtype=np.int16) for _ in range(C)]
+        self._history = [np.zeros(0, dtype=np.float32) for _ in range(C)]
+        self._pending = [np.zeros(0, dtype=np.float32) for _ in range(C)]
 
+        self.in_stride = 1   # resample.c:1170-1178
+        self.out_stride = 1  # resample.c:1180-1188
         self.set_quality(quality)
         self.set_rate_frac(ratio_num, ratio_den, in_rate, out_rate)
         self._update_filter()
@@ -111,8 +114,8 @@ class ResamplerCore:
 
         if not self.started or old_spec is None:
             for c in range(self.nb_channels):
-                self._history[c] = np.zeros(N - 1, dtype=np.int16)
-                self._pending[c] = np.zeros(0, dtype=np.int16)
+                self._history[c] = np.zeros(N - 1, dtype=np.float32)
+                self._pending[c] = np.zeros(0, dtype=np.float32)
                 self.magic_samples[c] = 0
             return
 
@@ -131,13 +134,13 @@ class ResamplerCore:
                 # C shifts pending right by magic and zero-fills, giving a
                 # buffer of olen-1 samples = [zeros(magic) | hist | pend]
                 data = np.concatenate(
-                    [np.zeros(len(pend), dtype=np.int16), hist, pend])
+                    [np.zeros(len(pend), dtype=np.float32), hist, pend])
                 self.magic_samples[c] = 0
                 if N > olen:
                     # zero-pad front to N-1 history, bump last_sample
-                    pad = np.zeros((N - 1) - (olen - 1), dtype=np.int16)
+                    pad = np.zeros((N - 1) - (olen - 1), dtype=np.float32)
                     self._history[c] = np.concatenate([pad, data])
-                    self._pending[c] = np.zeros(0, dtype=np.int16)
+                    self._pending[c] = np.zeros(0, dtype=np.float32)
                     self.last_sample[c] += (N - olen) // 2
                 else:
                     # still shrinking vs augmented length: stash magic
@@ -203,6 +206,33 @@ class ResamplerCore:
     def get_rate(self) -> tuple[int, int]:
         return self.in_rate, self.out_rate
 
+    def set_input_stride(self, stride: int):
+        """speex_resampler_set_input_stride (resample.c:1170-1173)."""
+        if stride <= 0:
+            raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
+        self.in_stride = int(stride)
+
+    def get_input_stride(self) -> int:
+        return self.in_stride
+
+    def set_output_stride(self, stride: int):
+        """speex_resampler_set_output_stride (resample.c:1180-1183)."""
+        if stride <= 0:
+            raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
+        self.out_stride = int(stride)
+
+    def get_output_stride(self) -> int:
+        return self.out_stride
+
+    def destroy(self):
+        """speex_resampler_destroy (resample.c:868-876): release buffers;
+        further use is an error (mirrors C use-after-free being invalid)."""
+        self._history = None
+        self._pending = None
+        self._weights.clear()
+        self._spec = None
+        self.initialised = False
+
     def get_ratio(self) -> tuple[int, int]:
         return self.num, self.den
 
@@ -227,8 +257,8 @@ class ResamplerCore:
         self.magic_samples[:] = 0
         N = self._spec.filt_len
         for c in range(self.nb_channels):
-            self._history[c] = np.zeros(N - 1, dtype=np.int16)
-            self._pending[c] = np.zeros(0, dtype=np.int16)
+            self._history[c] = np.zeros(N - 1, dtype=np.float32)
+            self._pending[c] = np.zeros(0, dtype=np.float32)
 
     # ------------------------------------------------------------------
     # Processing.
@@ -250,46 +280,79 @@ class ResamplerCore:
         returned in_len).  Channels in lockstep (the only state reachable
         through this API) are batched into one device launch.
         """
-        self.started = True
         frames = np.ascontiguousarray(frames, dtype=np.int16)
+        return self._process_interleaved_any(frames, out_capacity,
+                                             out_float=False)
+
+    def process_interleaved_float(self, frames: np.ndarray,
+                                  out_capacity: int) -> np.ndarray:
+        """speex_resampler_process_interleaved_float (resample.c:1037-1059):
+        float samples on the ±32768 scale in and out, no WORD2INT."""
+        frames = np.ascontiguousarray(frames, dtype=np.float32)
+        return self._process_interleaved_any(frames, out_capacity,
+                                             out_float=True)
+
+    def _process_interleaved_any(self, frames, out_capacity, *, out_float):
+        self.started = True
         if frames.ndim != 2 or frames.shape[1] != self.nb_channels:
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
         if not self._channels_in_lockstep():
-            outs = [self.process_channel(c, frames[:, c], out_capacity)
+            outs = [self._process(frames[None, :, c], [c], out_capacity,
+                                  out_float=out_float)[0]
                     for c in range(self.nb_channels)]
             n = min(len(o) for o in outs)
             return np.stack([o[:n] for o in outs], axis=1)
-        return self._process_lockstep(frames, out_capacity)
+        x = np.ascontiguousarray(frames.T)  # [C, n]
+        y = self._process(x, list(range(self.nb_channels)), out_capacity,
+                          out_float=out_float)
+        return np.ascontiguousarray(y.T)
 
     def process_channel(self, c: int, samples: np.ndarray,
                         out_capacity: int) -> np.ndarray:
-        """Single-channel path (speex_resampler_process_int semantics)."""
+        """Single-channel path (speex_resampler_process_int semantics).
+        Honors the configured in/out strides (resample.c:1170-1188):
+        ``samples`` is read at every in_stride-th position; output is
+        written at every out_stride-th position of the returned buffer
+        (gaps zero-filled)."""
         self.started = True
-        x = np.ascontiguousarray(samples, dtype=np.int16)[None, :]
-        return self._process(x, [c], out_capacity)[0]
+        x = np.ascontiguousarray(
+            np.asarray(samples, dtype=np.int16)[::self.in_stride])[None, :]
+        y = self._process(x, [c], out_capacity)[0]
+        return self._apply_out_stride(y)
 
-    def _process_lockstep(self, frames: np.ndarray,
-                          out_capacity: int) -> np.ndarray:
-        C = self.nb_channels
-        x = np.ascontiguousarray(frames.T)  # [C, n]
-        y = self._process(x, list(range(C)), out_capacity)  # [C, n_out]
-        return np.ascontiguousarray(y.T)
+    def process_channel_float(self, c: int, samples: np.ndarray,
+                              out_capacity: int) -> np.ndarray:
+        """speex_resampler_process_float (resample.c:924-963) semantics."""
+        self.started = True
+        x = np.ascontiguousarray(
+            np.asarray(samples, dtype=np.float32)[::self.in_stride])[None, :]
+        y = self._process(x, [c], out_capacity, out_float=True)[0]
+        return self._apply_out_stride(y)
+
+    def _apply_out_stride(self, y: np.ndarray) -> np.ndarray:
+        if self.out_stride == 1:
+            return y
+        out = np.zeros(len(y) * self.out_stride, dtype=y.dtype)
+        out[::self.out_stride] = y
+        return out
 
     def _process(self, x: np.ndarray, chans: list[int],
-                 out_capacity: int) -> np.ndarray:
-        """Shared core: x int16 [B, n_new] for channels ``chans`` (all in
-        identical phase state). Returns int16 [B, n_out]."""
+                 out_capacity: int, *, out_float: bool = False) -> np.ndarray:
+        """Shared core: x [B, n_new] (int16 or float32) for channels
+        ``chans`` (all in identical phase state).  Returns [B, n_out] —
+        int16 through WORD2INT, or raw float32 when ``out_float``."""
         c0 = chans[0]
         spec = self._spec
         N = spec.filt_len
         outs = []
         cap = int(out_capacity)
+        odt = np.float32 if out_float else np.int16
 
         # Phase A — drain pending magic samples (resample.c:904-922, :938-940)
         n_magic = int(self.magic_samples[c0])
         if n_magic:
             pend = np.stack([self._pending[c] for c in chans])
-            y, consumed = self._launch(chans, pend, cap)
+            y, consumed = self._launch(chans, pend, cap, out_float)
             cap -= y.shape[1]
             outs.append(y)
             for i, c in enumerate(chans):
@@ -300,15 +363,15 @@ class ResamplerCore:
         # Phase B — the chunk itself, only if magic fully drained
         # (the !st->magic_samples gate, resample.c:940, :999)
         if n_magic == 0:
-            y, _ = self._launch(chans, x, cap)
+            y, _ = self._launch(chans, x, cap, out_float)
             outs.append(y)
 
         if not outs:
-            return np.zeros((len(chans), 0), dtype=np.int16)
+            return np.zeros((len(chans), 0), dtype=odt)
         return np.concatenate(outs, axis=1)
 
     def _launch(self, chans: list[int], new: np.ndarray,
-                cap: int) -> tuple[np.ndarray, int]:
+                cap: int, out_float: bool = False) -> tuple[np.ndarray, int]:
         """Run one device launch over ``new`` samples for channels ``chans``
         (lockstep state), updating history + phase state.  Returns
         (outputs int16 [B, n_out], consumed_new_samples)."""
@@ -326,12 +389,13 @@ class ResamplerCore:
         consumed = min(ls_after, n_new)
 
         hist = np.stack([self._history[c] for c in chans])
-        X = np.concatenate([hist, new], axis=1)  # [B, N-1+n_new]
+        X = np.concatenate([hist, new.astype(np.float32)], axis=1)
 
         if n_out > 0:
-            y = self._run_fir(X, ls0, f0, n_out)
+            y = self._run_fir(X, ls0, f0, n_out, out_float)
         else:
-            y = np.zeros((len(chans), 0), dtype=np.int16)
+            y = np.zeros((len(chans), 0),
+                         dtype=np.float32 if out_float else np.int16)
 
         # state update (resample.c:891-899)
         for i, c in enumerate(chans):
@@ -345,7 +409,7 @@ class ResamplerCore:
     # ------------------------------------------------------------------
 
     def _run_fir(self, X: np.ndarray, ls0: int, f0: int,
-                 n_out: int) -> np.ndarray:
+                 n_out: int, out_float: bool = False) -> np.ndarray:
         """X int16 [B, N-1+n_new]; window start for output k is
         ls0 + (f0+k*num)//den indexed from X[0] (history origin)."""
         spec = self._spec
@@ -357,18 +421,19 @@ class ResamplerCore:
 
         w_bytes = L * R * 4
         if w_bytes > fm.MAX_PADDED_WEIGHT_BYTES:
-            return self._run_fir_gather(X, ls0, f0, n_out)
+            return self._run_fir_gather(X, ls0, f0, n_out, out_float)
 
         # fold ls0 into the patch origin by dropping the first ls0 samples
         Xs = X[:, ls0:]
         nb = self._blocks_bucket(-(-n_out // R))
         A = -(-L // stride)  # patch length in stride units (W rows padded)
         T = (nb + A) * stride
-        xp = np.zeros((X.shape[0], T), dtype=np.int16)
+        xp = np.zeros((X.shape[0], T), dtype=np.float32)
         m = min(Xs.shape[1], T)
         xp[:, :m] = Xs[:, :m]
         w = self._weights.get(spec, f0, group)
-        y = fm.resample_conv(jnp.asarray(xp), w, stride=stride)
+        y = fm.resample_conv(jnp.asarray(xp), w, stride=stride,
+                             raw=out_float)
         return to_host(y)[:, :n_out]
 
     @staticmethod
@@ -380,7 +445,7 @@ class ResamplerCore:
         return 1 << (n_blocks - 1).bit_length()
 
     def _run_fir_gather(self, X: np.ndarray, ls0: int, f0: int,
-                        n_out: int) -> np.ndarray:
+                        n_out: int, out_float: bool = False) -> np.ndarray:
         spec = self._spec
         num, den, N = spec.num, spec.den, spec.filt_len
         tile = 2048
@@ -393,5 +458,5 @@ class ResamplerCore:
         s = np.minimum(s, max(T - N, 0)).astype(np.int32)  # masked tail lanes
         taps = spec.phase_table[p]  # [n_pad, N] host gather
         y = fm.resample_gather(jnp.asarray(X), jnp.asarray(taps),
-                               jnp.asarray(s), tile=tile)
+                               jnp.asarray(s), tile=tile, raw=out_float)
         return to_host(y)[:, :n_out]

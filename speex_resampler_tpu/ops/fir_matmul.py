@@ -55,8 +55,9 @@ def choose_group(num: int, den: int, filt_len: int) -> int:
     return max(g, 1)
 
 
-@partial(jax.jit, static_argnames=("stride", "accum_dtype"))
-def resample_conv(x, w, *, stride: int, accum_dtype=jnp.float32):
+@partial(jax.jit, static_argnames=("stride", "accum_dtype", "raw"))
+def resample_conv(x, w, *, stride: int, accum_dtype=jnp.float32,
+                  raw: bool = False):
     """One resample launch: strided patches × padded phase weights → MXU.
 
     x: int16[batch, T]   input samples (history + chunk + zero pad), where
@@ -84,6 +85,8 @@ def resample_conv(x, w, *, stride: int, accum_dtype=jnp.float32):
     y = jnp.dot(pf, w.astype(jnp.float32),
                 precision=lax.Precision.HIGHEST,
                 preferred_element_type=accum_dtype)    # [batch*B, R]
+    if raw:  # float-sample path (speex_resampler_process_float): no WORD2INT
+        return y.astype(jnp.float32).reshape(batch, n_blocks * R)
     return word2int(y).reshape(batch, n_blocks * R)
 
 
@@ -112,9 +115,9 @@ def resample_conv_tm(x, w, *, stride: int, accum_dtype=jnp.float32):
     return word2int(acc).reshape(n_blocks * R, B)
 
 
-@partial(jax.jit, static_argnames=("tile", "accum_dtype"))
+@partial(jax.jit, static_argnames=("tile", "accum_dtype", "raw"))
 def resample_gather(x, taps, starts, *, tile: int = 2048,
-                    accum_dtype=jnp.float32):
+                    accum_dtype=jnp.float32, raw: bool = False):
     """Fallback launch for huge-den ratios: per-output tap-row dots.
 
     x:      int16[batch, T]
@@ -138,4 +141,6 @@ def resample_gather(x, taps, starts, *, tile: int = 2048,
     y = lax.map(do_tile, (starts.reshape(n_tiles, tile),
                           taps.reshape(n_tiles, tile, filt_len)))
     y = jnp.moveaxis(y, 1, 0).reshape(batch, n_out)
+    if raw:
+        return y.astype(jnp.float32)
     return word2int(y)

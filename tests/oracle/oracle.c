@@ -218,14 +218,79 @@ static int cmd_setrate(int argc, char **argv)
     return 0;
 }
 
+/* Float-sample path golden (speex_resampler_process_interleaved_float,
+ * resample.c:1037-1059): raw f32 interleaved samples in/out (±32768 scale).
+ *   processf <channels> <in_rate> <out_rate> <quality> <chunk_frames>
+ *            <in.f32> <out.f32>
+ * chunk_frames == 0 means one shot.  Output capacity per chunk is
+ * ceil(frames*out_rate/in_rate) frames (no JS wrapper exists for this path;
+ * the capacity is ample so nothing is dropped).
+ */
+static int cmd_processf(int argc, char **argv)
+{
+    if (argc < 8)
+        die("processf <ch> <in> <out> <q> <chunk_frames> <in.f32> <out.f32>");
+    int channels = atoi(argv[1]);
+    int in_rate = atoi(argv[2]);
+    int out_rate = atoi(argv[3]);
+    int quality = atoi(argv[4]);
+    long chunk_frames = atol(argv[5]);
+
+    FILE *fin = fopen(argv[6], "rb");
+    if (!fin)
+        die("cannot open input");
+    fseek(fin, 0, SEEK_END);
+    long nbytes = ftell(fin);
+    fseek(fin, 0, SEEK_SET);
+    float *pcm = (float *)malloc(nbytes);
+    if (fread(pcm, 1, nbytes, fin) != (size_t)nbytes)
+        die("short read");
+    fclose(fin);
+
+    long total_frames = nbytes / 4 / channels;
+    if (chunk_frames <= 0)
+        chunk_frames = total_frames;
+
+    int err = 0;
+    SpeexResamplerState *st =
+        speex_resampler_init(channels, in_rate, out_rate, quality, &err);
+    if (!st)
+        die("init failed");
+    FILE *fout = fopen(argv[7], "wb");
+    if (!fout)
+        die("cannot open output");
+
+    for (long pos = 0; pos < total_frames; pos += chunk_frames) {
+        long frames = total_frames - pos;
+        if (frames > chunk_frames)
+            frames = chunk_frames;
+        spx_uint32_t in_len = (spx_uint32_t)frames;
+        spx_uint32_t out_len = (spx_uint32_t)(
+            (frames * (long)out_rate + in_rate - 1) / in_rate + 1);
+        float *outbuf = (float *)calloc((size_t)out_len * channels, 4);
+        int perr = speex_resampler_process_interleaved_float(
+            st, pcm + pos * channels, &in_len, outbuf, &out_len);
+        if (perr != 0)
+            die("process failed");
+        fwrite(outbuf, 4, (size_t)out_len * channels, fout);
+        free(outbuf);
+    }
+    fclose(fout);
+    speex_resampler_destroy(st);
+    free(pcm);
+    return 0;
+}
+
 int main(int argc, char **argv)
 {
     if (argc < 2)
-        die("usage: oracle <tables|process|setrate> ...");
+        die("usage: oracle <tables|process|processf|setrate> ...");
     if (!strcmp(argv[1], "tables"))
         return cmd_tables(argc - 1, argv + 1);
     if (!strcmp(argv[1], "process"))
         return cmd_process(argc - 1, argv + 1);
+    if (!strcmp(argv[1], "processf"))
+        return cmd_processf(argc - 1, argv + 1);
     if (!strcmp(argv[1], "setrate"))
         return cmd_setrate(argc - 1, argv + 1);
     die("unknown command");
