@@ -6,14 +6,20 @@ the LSB bound is enforced by tests/test_golden.py and tests/test_batch.py;
 this script measures throughput on the real chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-value = output samples/sec of the steady-state device step (chained launches
-with history carried on device, exactly the serving hot loop) and
-vs_baseline = value / 1e9 (the BASELINE north-star).  Host-transfer-inclusive
-end-to-end throughput is also measured and reported as an extra key: in
-production the host is co-located with the chip; in this harness the device
-sits behind a network tunnel, so e2e is tunnel-bound, not chip-bound.
+value = output samples/sec of the steady-state device step and vs_baseline
+= value / 1e9 (the BASELINE north-star).
+
+Methodology: ITERS chained launches run inside one lax.scan dispatch (a
+y-derived checksum in the carry keeps every launch live), timed at two scan
+lengths; the slope removes dispatch/tunnel round-trip latency, and
+jax.device_get of the checksum forces a real value round-trip (plain
+block_until_ready has been observed returning early through the tunnel).
+Host-transfer-inclusive end-to-end throughput is reported as an extra key:
+in production the host is co-located with the chip; in this harness the
+device sits behind a network tunnel, so e2e is tunnel-bound, not chip-bound.
 """
 
+import functools
 import json
 import sys
 import time
@@ -21,75 +27,70 @@ import time
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from speex_resampler_tpu.ops import filter_design as fd
-from speex_resampler_tpu.parallel.batch import (BatchSpec, make_batched_step,
+from speex_resampler_tpu.parallel.batch import (_launch_geometry,
+                                                make_batched_step,
                                                 BatchedResampler)
 
 N_STREAMS = 1024
 CHANNELS = 2
 IN_RATE, OUT_RATE, QUALITY = 44100, 48000, 7
-N_BLOCKS = 64          # 9408 input / 10240 output frames per lane per launch
-WARMUP = 3
-ITERS = 30
+TARGET_IN_FRAMES = 9408
+ITERS_SHORT, ITERS_LONG = 4, 24
+REPS = 4
 
 
 def main():
     backend = jax.default_backend()
     B = N_STREAMS * CHANNELS
+    use_pallas = backend == "tpu"
 
     spec = fd.design_filter(147, 160, QUALITY)
-    bspec = BatchSpec(num=147, den=160, quality=QUALITY,
-                      filt_len=spec.filt_len, group=1, n_blocks=N_BLOCKS,
-                      f0=0)
-    step, w = make_batched_step(spec, bspec)
+    bspec = _launch_geometry(spec, TARGET_IN_FRAMES, use_pallas=use_pallas)
+    step, w = make_batched_step(spec, bspec, use_pallas=use_pallas)
 
     rng = np.random.default_rng(0)
     x_np = (rng.integers(-32768, 32768, size=(bspec.in_per_launch, B))
             // 2).astype(np.int16)
     x = jnp.asarray(x_np)
-    hist = jnp.zeros((spec.filt_len - 1, B), dtype=jnp.int16)
+    hist0 = jnp.zeros((spec.filt_len - 1, B), dtype=jnp.int16)
 
-    # Device-resident steady state (the serving hot loop): ITERS chained
-    # launches inside ONE lax.scan dispatch, so the measurement is pure
-    # device time — per-dispatch/tunnel latency can't inflate the rate.
-    # The y-derived checksum in the carry keeps every launch live.
-    @jax.jit
-    def run(hist, x, w):
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def rep(hist, x, w, salt, iters):
         def body(carry, _):
             h, chk = carry
-            h, y = step(h, x, w)  # jit-of-jit inlines; donation is outer
+            h, y = step(h, x + salt, w)
             return (h, chk + y[0, 0].astype(jnp.int32)), None
-        (h, chk), _ = jax.lax.scan(body, (hist, jnp.int32(0)),
-                                   length=ITERS)
-        return h, chk
+        (h, chk), _ = lax.scan(body, (hist, jnp.int32(0)), length=iters)
+        return chk
 
-    h, chk = run(hist, x, w)   # compile + warmup
-    chk.block_until_ready()
-    times = []
-    for _ in range(WARMUP):
-        t0 = time.perf_counter()
-        h, chk = run(hist, x, w)
-        chk.block_until_ready()
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
-    out_samples = ITERS * bspec.out_per_launch * B
-    in_samples = ITERS * bspec.in_per_launch * B
-    device_sps = out_samples / dt
+    for it in (ITERS_SHORT, ITERS_LONG):
+        jax.device_get(rep(hist0, x, w, jnp.int16(99), it))  # compile+warm
+    ts = {}
+    for it in (ITERS_SHORT, ITERS_LONG):
+        best = float("inf")
+        for i in range(REPS):
+            t0 = time.perf_counter()
+            jax.device_get(rep(hist0, x, w, jnp.int16(i), it))
+            best = min(best, time.perf_counter() - t0)
+        ts[it] = best
+    per_launch = (ts[ITERS_LONG] - ts[ITERS_SHORT]) / (ITERS_LONG
+                                                       - ITERS_SHORT)
+    device_sps = bspec.out_per_launch * B / per_launch
 
     # end-to-end through the public engine (host staging + transfers)
     eng = BatchedResampler(N_STREAMS, CHANNELS, IN_RATE, OUT_RATE, QUALITY,
                            target_chunk_frames=bspec.in_per_launch)
-    lanes = x_np  # time-major [n, B] fast path
-    eng.process(lanes)  # warmup/compile
+    eng.process(x_np)  # warmup/compile
     t0 = time.perf_counter()
     e2e_iters = 5
     produced = 0
     for _ in range(e2e_iters):
-        out = eng.process(lanes)
+        out = eng.process(x_np)
         produced += out.size
-    e2e_dt = time.perf_counter() - t0
-    e2e_sps = produced / e2e_dt
+    e2e_sps = produced / (time.perf_counter() - t0)
 
     result = {
         "metric": "output samples/sec, batched q7 44.1k->48k stereo "
@@ -100,8 +101,10 @@ def main():
         "extra": {
             "backend": backend,
             "device_kind": jax.devices()[0].device_kind,
-            "input_samples_per_sec": round(in_samples / dt),
-            "launch_ms": round(dt / ITERS * 1e3, 3),
+            "kernel": bspec.kernel,
+            "launch_ms": round(per_launch * 1e3, 4),
+            "input_samples_per_sec": round(bspec.in_per_launch * B
+                                           / per_launch),
             "e2e_samples_per_sec_via_tunnel": round(e2e_sps),
             "streams": N_STREAMS, "channels": CHANNELS,
             "in_frames_per_launch": bspec.in_per_launch,

@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["resample_conv_tm_pallas", "pick_lane_tile"]
+__all__ = ["resample_conv_tm_pallas", "resample_conv_tm_pallas_v2",
+           "pick_lane_tile"]
 
 _LANE = 128
 # per-program VMEM budget for the x tile; Pallas double-buffers grid inputs,
@@ -123,6 +124,85 @@ def resample_conv_tm_pallas(x, w, *, stride: int, interpret: bool = False,
             transcendentals=0),
         interpret=interpret,
     )(wA, xr)
+
+    y = y.reshape(n_blocks * R, B_pad)
+    return y[:, :B] if B_pad != B else y
+
+
+# ---------------------------------------------------------------------------
+# v2: MXU-aligned phase-tiled kernel.
+#
+# v1 pays for its one-dense-GEMM-per-superblock shape: [R=den, L=N+num] tiles
+# fill the 128x128 MXU poorly (for 44.1k->48k Q7: 12 systolic passes per
+# 160 outputs).  v2 tiles outputs in blocks of exactly R=128 (one full MXU
+# pass on the output axis) with cyclic per-block-phase weights
+# (ops/phase.build_phase_tiled_weights): 4 passes per 128 outputs, ~2.4x
+# fewer MXU passes, and every dynamic input slice is 16-aligned (the int16
+# sublane tile) because the sub-16 start remainder is pre-folded into each
+# weight matrix as leading zero rows.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_v2(off_ref, w_ref, x_ref, o_ref, *, P: int, S: int, K: int):
+    j = pl.program_id(1)
+    off = (j // P) * S + off_ref[j % P]
+    off = pl.multiple_of(off, 16)
+    patch = x_ref[pl.ds(off, K), :].astype(jnp.float32)
+    # Precision.HIGHEST is load-bearing; see _kernel.
+    o_ref[0] = _word2int(jnp.dot(
+        w_ref[0], patch, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("S", "n_blocks", "interpret",
+                                             "lane_tile"))
+def resample_conv_tm_pallas_v2(x, w, offsets, *, S: int, n_blocks: int,
+                               interpret: bool = False,
+                               lane_tile: int | None = None):
+    """Phase-tiled time-major resample launch.
+
+    x:       int16[T, B]   history ++ chunk ++ tail pad; block j reads rows
+                           (j//P)*S + offsets[j%P] .. +K  (all 16-aligned)
+    w:       f32[P, K, R]  cyclic weights (ops/phase.build_phase_tiled_weights)
+    offsets: int32[P]
+    returns int16[n_blocks * R, B].
+    """
+    P, K, R = w.shape
+    T, B = x.shape
+    need = (max(1, n_blocks) - 1) // P * S + int(K)  # lower bound sans offset
+    assert T >= need, (T, need)
+
+    wT = w.transpose(0, 2, 1).astype(jnp.float32)  # [P, R, K]
+
+    B_pad = -(-B // _LANE) * _LANE
+    if B_pad != B:
+        x = jnp.pad(x, ((0, 0), (0, B_pad - B)))
+    lb = lane_tile or pick_lane_tile(T, B_pad)
+    lb = min(lb, B_pad)
+    n_lane_tiles = -(-B_pad // lb)
+    if n_lane_tiles * lb != B_pad:
+        x = jnp.pad(x, ((0, 0), (0, n_lane_tiles * lb - B_pad)))
+        B_pad = n_lane_tiles * lb
+
+    y = pl.pallas_call(
+        functools.partial(_kernel_v2, P=P, S=S, K=K),
+        grid=(n_lane_tiles, n_blocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, R, K), lambda i, j: (j % P, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, lb), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, R, lb), lambda i, j: (j, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, R, B_pad), jnp.int16),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_blocks * R * K * B_pad,
+            bytes_accessed=T * B_pad * 2 + n_blocks * R * B_pad * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(jnp.asarray(offsets, dtype=jnp.int32), wT, x)
 
     y = y.reshape(n_blocks * R, B_pad)
     return y[:, :B] if B_pad != B else y

@@ -19,6 +19,7 @@ sizes alone, so the host mirrors it and the device never syncs scalars back.
 from __future__ import annotations
 
 import dataclasses
+import math
 from functools import lru_cache
 
 import numpy as np
@@ -28,6 +29,8 @@ __all__ = [
     "advance",
     "block_constants",
     "build_padded_weights",
+    "build_phase_tiled_weights",
+    "PhaseTiledWeights",
 ]
 
 
@@ -78,6 +81,85 @@ def block_constants(num: int, den: int, f0: int,
         p=(t % den).astype(np.int32),
         o=(t // den).astype(np.int32),
     )
+
+
+@dataclasses.dataclass(frozen=True)
+class PhaseTiledWeights:
+    """Weights for the MXU-aligned phase-tiled kernel (pallas_fir v2).
+
+    Outputs are tiled in blocks of exactly R = 128 (one full MXU pass on the
+    output axis).  Block k's window starts are NOT periodic in k unless
+    num ≡ 0 (mod den), so weights cycle with period ``P`` blocks: block k
+    uses ``w[k % P]`` and reads input rows
+    ``(k // P) * S + offsets[k % P]  ..  + K``.
+    Every offset (and S·(k//P)) is a multiple of ``align`` (16 = the int16
+    sublane tile), so the kernel's dynamic sublane slices stay tile-aligned
+    — the sub-align remainder of each block's true start is folded into the
+    weight matrix as leading zero rows.
+
+    w:       f32[P, K, R]  (row l, col r) = taps for block-local output r
+    offsets: int32[P]      8-aligned input-row offset per block phase
+    S:       input rows consumed per P consecutive blocks (8-aligned)
+    f_end:   samp_frac_num advance per P blocks is zero by construction —
+             P·R outputs always consume exactly S inputs.
+    """
+    w: np.ndarray
+    offsets: np.ndarray
+    S: int
+    R: int
+
+    @property
+    def P(self) -> int:
+        return self.w.shape[0]
+
+    @property
+    def K(self) -> int:
+        return self.w.shape[1]
+
+
+def build_phase_tiled_weights(phase_table: np.ndarray, num: int, den: int,
+                              f0: int, R: int = 128) -> PhaseTiledWeights:
+    """Build the v2 kernel's cyclic weight set.
+
+    Let t(j) = f0 + j*num.  Output j's window starts at row t(j)//den with
+    taps H[t(j) % den].  For block k (outputs k*R .. k*R+R-1):
+        base(k)   = t(k*R) // den
+    Phases repeat when k*R*num ≡ 0 (mod den): P0 = den / gcd(R*num, den).
+    base advances by S0 = P0*R*num/den per P0 blocks; to keep all slices
+    align-multiple, P = P0 * (align / gcd(S0, align)) and S = P*R*num/den,
+    and each block-phase's base is rounded down to a multiple of align with
+    the remainder folded into leading zero rows of its weight matrix.
+    """
+    align = 16  # int16 sublane tile height on TPU
+    filt_len = phase_table.shape[1]
+    g = math.gcd(R * num, den)
+    P0 = den // g
+    S0 = P0 * R * num // den
+    factor = align // math.gcd(S0, align)
+    P = P0 * factor
+    S = P * R * num // den
+    assert S % align == 0 and (f0 + P * R * num) % den == f0 % den
+
+    offsets = np.empty(P, dtype=np.int32)
+    spans = np.empty(P, dtype=np.int64)
+    for k in range(P):
+        t0 = f0 + k * R * num
+        base = t0 // den
+        aligned = (base // align) * align
+        offsets[k] = aligned
+        spans[k] = (t0 + (R - 1) * num) // den - aligned
+    K = int(spans.max()) + filt_len
+    K = -(-K // 8) * 8
+
+    w = np.zeros((P, K, R), dtype=phase_table.dtype)
+    rows = np.arange(filt_len)
+    for k in range(P):
+        t = f0 + (k * R + np.arange(R, dtype=np.int64)) * num
+        p = (t % den).astype(np.int64)
+        o = (t // den) - offsets[k]          # includes the sub-8 shift
+        w[k][o[None, :] + rows[:, None], np.arange(R)[None, :]] = \
+            phase_table[p].T
+    return PhaseTiledWeights(w=w, offsets=offsets, S=int(S), R=R)
 
 
 def build_padded_weights(phase_table: np.ndarray, num: int, den: int,

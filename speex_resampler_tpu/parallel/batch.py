@@ -49,16 +49,31 @@ from ..utils.host import to_host
 __all__ = ["BatchedResampler", "make_batched_step", "BatchSpec"]
 
 
+# Phase-tiled (v2) weights above this size fall back to the dense kernel.
+_MAX_TILED_WEIGHT_BYTES = 8 * 1024 * 1024
+
+
 @dataclasses.dataclass(frozen=True)
 class BatchSpec:
-    """Static launch geometry for one (ratio, quality) config."""
+    """Static launch geometry for one (ratio, quality) config.
+
+    kernel == "dense": v1 geometry — super-blocks of R = group*den outputs,
+    one dense GEMM each (ops/fir_matmul.py layout).
+    kernel == "tiled": v2 geometry — blocks of R = 128 outputs with cyclic
+    phase weights (ops/pallas_fir.resample_conv_tm_pallas_v2); n_blocks is
+    a multiple of P and n_blocks/P "periods" consume S inputs each.
+    """
     num: int
     den: int
     quality: int
     filt_len: int
-    group: int          # super-block factor G
-    n_blocks: int       # super-blocks per launch
+    group: int          # dense: super-block factor G
+    n_blocks: int       # dense: super-blocks; tiled: R-blocks (mult of P)
     f0: int             # fractional phase at every launch start
+    kernel: str = "dense"
+    S: int = 0          # tiled: inputs per P blocks
+    P: int = 0          # tiled: weight cycle length
+    R: int = 0          # tiled: outputs per block (128)
 
     @property
     def stride(self) -> int:
@@ -67,15 +82,33 @@ class BatchSpec:
     @property
     def in_per_launch(self) -> int:
         """Input frames consumed per lane per launch."""
+        if self.kernel == "tiled":
+            return (self.n_blocks // self.P) * self.S
         return self.n_blocks * self.stride
 
     @property
     def out_per_launch(self) -> int:
         """Output frames produced per lane per launch."""
+        if self.kernel == "tiled":
+            return self.n_blocks * self.R
         return self.n_blocks * self.group * self.den
 
 
-def _launch_geometry(spec: fd.FilterSpec, target_in_frames: int) -> BatchSpec:
+def _tiled_weights(spec: fd.FilterSpec):
+    return ph.build_phase_tiled_weights(spec.phase_table, spec.num,
+                                        spec.den, 0)
+
+
+def _launch_geometry(spec: fd.FilterSpec, target_in_frames: int,
+                     use_pallas: bool = False) -> BatchSpec:
+    if use_pallas:
+        ptw = _tiled_weights(spec)
+        if ptw.w.nbytes <= _MAX_TILED_WEIGHT_BYTES:
+            n_periods = max(1, round(target_in_frames / ptw.S))
+            return BatchSpec(num=spec.num, den=spec.den,
+                             quality=spec.quality, filt_len=spec.filt_len,
+                             group=1, n_blocks=n_periods * ptw.P, f0=0,
+                             kernel="tiled", S=ptw.S, P=ptw.P, R=ptw.R)
     group = fm.choose_group(spec.num, spec.den, spec.filt_len)
     stride = group * spec.num
     n_blocks = max(1, round(target_in_frames / stride))
@@ -97,9 +130,35 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
     under a mesh; history/x/y shard on their lane axis).
     """
     N = spec.filt_len
-    stride = bspec.stride
     n_in = bspec.in_per_launch
+    n_out = bspec.out_per_launch
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
 
+    if bspec.kernel == "tiled":
+        assert use_pallas, "tiled geometry requires the Pallas kernel"
+        from ..ops import pallas_fir
+        ptw = _tiled_weights(spec)
+        assert (ptw.S, ptw.P, ptw.R) == (bspec.S, bspec.P, bspec.R)
+        n_periods = bspec.n_blocks // ptw.P
+        T_req = (n_periods - 1) * ptw.S + int(ptw.offsets[-1]) + ptw.K
+        pad = max(0, T_req - (N - 1 + n_in))
+        offsets = jnp.asarray(ptw.offsets)
+        conv = functools.partial(pallas_fir.resample_conv_tm_pallas_v2,
+                                 S=ptw.S, n_blocks=bspec.n_blocks,
+                                 interpret=pallas_interpret)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(hist, x, w):
+            X = jnp.concatenate(
+                [hist, x,
+                 jnp.zeros((pad, x.shape[1]), dtype=jnp.int16)], axis=0)
+            y = conv(X, w, offsets)[:n_out]
+            return jax.lax.dynamic_slice_in_dim(X, n_in, N - 1, axis=0), y
+
+        return step, jnp.asarray(ptw.w)
+
+    stride = bspec.stride
     w_np = ph.build_padded_weights(spec.phase_table, spec.num, spec.den,
                                    bspec.f0, bspec.group)
     L_pad = -(-w_np.shape[0] // stride) * stride
@@ -111,16 +170,12 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
     pad = T - (N - 1 + n_in)
     assert pad >= 0
 
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         from ..ops import pallas_fir
         conv = functools.partial(pallas_fir.resample_conv_tm_pallas,
                                  stride=stride, interpret=pallas_interpret)
     else:
         conv = functools.partial(fm.resample_conv_tm, stride=stride)
-
-    n_out = bspec.out_per_launch
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def step(hist, x, w):
@@ -169,7 +224,10 @@ class BatchedResampler:
         self.out_rate = out_rate
         g = math.gcd(in_rate, out_rate)
         self.spec = fd.design_filter(in_rate // g, out_rate // g, quality)
-        self.bspec = _launch_geometry(self.spec, target_chunk_frames)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.bspec = _launch_geometry(self.spec, target_chunk_frames,
+                                      use_pallas=use_pallas)
         self.B = n_streams * channels
 
         self._step, w = make_batched_step(self.spec, self.bspec,

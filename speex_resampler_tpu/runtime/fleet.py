@@ -46,7 +46,10 @@ class FleetResampler:
         self.B = n_streams * channels
         g = math.gcd(in_rate, out_rate)
         self.spec = fd.design_filter(in_rate // g, out_rate // g, quality)
-        self.bspec = _launch_geometry(self.spec, target_chunk_frames)
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.bspec = _launch_geometry(self.spec, target_chunk_frames,
+                                      use_pallas=use_pallas)
         self._step, self._w = make_batched_step(
             self.spec, self.bspec, use_pallas=use_pallas,
             pallas_interpret=pallas_interpret)

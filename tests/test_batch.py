@@ -141,16 +141,34 @@ def test_pallas_kernel_matches_xla():
 
 
 def test_batched_engine_pallas_interpret():
-    """Whole engine through the Pallas kernel (interpret mode on CPU)."""
+    """Whole engine through the Pallas kernels (interpret mode on CPU):
+    both the phase-tiled v2 geometry (auto-chosen) and the dense v1."""
+    from speex_resampler_tpu.parallel.batch import (_launch_geometry,
+                                                    make_batched_step)
+    import jax.numpy as jnp
+
     S, C = 2, 1
     frames = _random_frames(S, 5000, C, seed=6)
     ref_eng = BatchedResampler(S, C, 44100, 48000, 7, use_pallas=False)
     ref = np.concatenate([ref_eng.process(frames), ref_eng.flush()], axis=1)
-    pal_eng = BatchedResampler(S, C, 44100, 48000, 7, use_pallas=True,
-                               pallas_interpret=True)
-    got = np.concatenate([pal_eng.process(frames), pal_eng.flush()], axis=1)
+
+    v2_eng = BatchedResampler(S, C, 44100, 48000, 7, use_pallas=True,
+                              pallas_interpret=True)
+    assert v2_eng.bspec.kernel == "tiled"
+    got = np.concatenate([v2_eng.process(frames), v2_eng.flush()], axis=1)
     assert got.shape == ref.shape
     assert_lsb_close(got.ravel(), ref.ravel())
+
+    # dense v1 pallas: same geometry as the XLA reference engine
+    spec = ref_eng.spec
+    step, w = make_batched_step(spec, ref_eng.bspec, use_pallas=True,
+                                pallas_interpret=True)
+    hist = jnp.zeros((spec.filt_len - 1, S * C), dtype=jnp.int16)
+    x = to_host(frames[:, :ref_eng.bspec.in_per_launch, 0].T)
+    _, y1 = step(hist, jnp.asarray(x), w)
+    ref1_eng = BatchedResampler(S, C, 44100, 48000, 7, use_pallas=False)
+    ref1 = ref1_eng.process(frames[:, :ref_eng.bspec.in_per_launch])
+    assert_lsb_close(to_host(y1).T.reshape(S, -1, C).ravel(), ref1.ravel())
 
 
 def test_batched_mesh_sharded_matches_unsharded():
