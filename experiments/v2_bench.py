@@ -61,5 +61,36 @@ def bench(kernel_name, use_pallas):
 
 
 bench("tiled-pallas", True)
-bench("dense-pallas", True)
-bench("dense-xla", False)
+if len(sys.argv) > 2 and sys.argv[2] == "all":
+    bench("dense-pallas", True)
+    bench("dense-xla", False)
+
+# pass-counting probe: same tiled kernel at DEFAULT precision (inaccurate,
+# timing only) to infer how many bf16 MXU passes Precision.HIGHEST costs.
+import speex_resampler_tpu.ops.pallas_fir as pf
+import jax.numpy as _jnp
+
+
+def patched_kernel(off_ref, w_ref, x_ref, o_ref, *, P, S, K):
+    j = jax.experimental.pallas.program_id(1)
+
+
+import jax.experimental.pallas as pl
+_orig = pf._kernel_v2
+
+
+def _kernel_default(off_ref, w_ref, x_ref, o_ref, *, P, S, K):
+    j = pl.program_id(1)
+    k = j % P
+    off = (j // P) * S + off_ref[k]
+    off = pl.multiple_of(off, 16)
+    patch = x_ref[pl.ds(off, K), :].astype(jnp.float32)
+    o_ref[0] = pf._word2int(jnp.dot(
+        w_ref[k], patch, preferred_element_type=jnp.float32))
+
+
+pf._kernel_v2 = _kernel_default
+jax.clear_caches()  # bust the jit cache so the patched kernel recompiles
+bench("tiled-DEFAULT(prec)", True)
+pf._kernel_v2 = _orig
+jax.clear_caches()

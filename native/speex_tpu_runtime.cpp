@@ -193,6 +193,26 @@ long srt_fill_flush(void* h, int16_t* out, long* staged_out) {
   return mx;
 }
 
+// Checkpoint support: copy (without consuming) one stream's staged frames
+// into dst[staged][C].  Caller sizes dst from srt_staged().
+void srt_peek(void* h, int stream, int16_t* dst) {
+  auto* rt = static_cast<Runtime*>(h);
+  const auto& f = rt->fifo[static_cast<size_t>(stream)];
+  std::memcpy(dst, f.front(), f.size() * 2);
+}
+
+// Checkpoint support: alignment-carry bytes for one stream.
+long srt_carry_size(void* h, int stream) {
+  auto* rt = static_cast<Runtime*>(h);
+  return static_cast<long>(rt->carry[static_cast<size_t>(stream)].size());
+}
+
+void srt_get_carry(void* h, int stream, uint8_t* dst) {
+  auto* rt = static_cast<Runtime*>(h);
+  const auto& c = rt->carry[static_cast<size_t>(stream)];
+  std::memcpy(dst, c.data(), c.size());
+}
+
 // Scatter a device result slab y[n_out][B] back to one stream's
 // interleaved PCM dst[n_out][C].
 void srt_unpack(void* h, const int16_t* y, long n_out, int stream,

@@ -261,6 +261,45 @@ class ResamplerCore:
             self._pending[c] = np.zeros(0, dtype=np.float32)
 
     # ------------------------------------------------------------------
+    # Checkpoint / resume.  The streaming state IS a checkpoint (SURVEY.md
+    # §5): per channel mem history, last_sample, samp_frac_num, pending
+    # magic samples (SpeexResamplerState_, resample.c:134-139).
+    # ------------------------------------------------------------------
+
+    def state_dict(self) -> dict:
+        """Serializable snapshot; restore with load_state_dict."""
+        return {
+            "nb_channels": self.nb_channels,
+            "in_rate": self.in_rate, "out_rate": self.out_rate,
+            "num": self.num, "den": self.den, "quality": self.quality,
+            "started": self.started,
+            "in_stride": self.in_stride, "out_stride": self.out_stride,
+            "last_sample": self.last_sample.copy(),
+            "samp_frac_num": self.samp_frac_num.copy(),
+            "magic_samples": self.magic_samples.copy(),
+            "history": [h.copy() for h in self._history],
+            "pending": [p.copy() for p in self._pending],
+        }
+
+    def load_state_dict(self, state: dict):
+        """Restore a snapshot taken by state_dict on a compatible core."""
+        if state["nb_channels"] != self.nb_channels:
+            raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
+        self.set_quality(int(state["quality"]))
+        self.set_rate_frac(int(state["num"]), int(state["den"]),
+                           int(state["in_rate"]), int(state["out_rate"]))
+        self.started = bool(state["started"])
+        self.in_stride = int(state["in_stride"])
+        self.out_stride = int(state["out_stride"])
+        self.last_sample[:] = state["last_sample"]
+        self.samp_frac_num[:] = state["samp_frac_num"]
+        self.magic_samples[:] = state["magic_samples"]
+        self._history = [np.array(h, dtype=np.float32)
+                         for h in state["history"]]
+        self._pending = [np.array(p, dtype=np.float32)
+                         for p in state["pending"]]
+
+    # ------------------------------------------------------------------
     # Processing.
     # ------------------------------------------------------------------
 

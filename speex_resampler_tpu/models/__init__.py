@@ -1,0 +1,3 @@
+from .presets import Preset, PRESETS, get_preset, describe
+
+__all__ = ["Preset", "PRESETS", "get_preset", "describe"]

@@ -41,9 +41,15 @@ _LANE = 128
 _X_TILE_BYTES = 5 * 1024 * 1024
 
 
-def pick_lane_tile(T: int, B: int) -> int:
-    """Largest multiple-of-128 lane tile whose x slab fits the VMEM budget."""
-    lb = _X_TILE_BYTES // (2 * T)
+def pick_lane_tile(T: int, B: int, reserve: int = 0) -> int:
+    """Largest multiple-of-128 lane tile whose x slab fits the VMEM budget.
+
+    ``reserve`` carves out room for other VMEM residents (e.g. the v2
+    kernel's whole weight set); the double-buffered x slab then gets up to
+    (14 MB - reserve)/2 but never more than the default budget."""
+    budget = min(_X_TILE_BYTES, max((14 * 1024 * 1024 - reserve) // 2,
+                                    1 << 20))
+    lb = budget // (2 * T)
     lb = (lb // _LANE) * _LANE
     return max(_LANE, min(lb, B))
 
@@ -144,13 +150,18 @@ def resample_conv_tm_pallas(x, w, *, stride: int, interpret: bool = False,
 
 
 def _kernel_v2(off_ref, w_ref, x_ref, o_ref, *, P: int, S: int, K: int):
+    # The whole cyclic weight set rides in VMEM with a constant index map
+    # (fetched once per launch): re-fetching w[j % P] per block would move
+    # more HBM bytes than the input itself (measured 84 MB vs 39 MB per
+    # launch for the flagship config — a 27% end-to-end penalty).
     j = pl.program_id(1)
-    off = (j // P) * S + off_ref[j % P]
+    k = j % P
+    off = (j // P) * S + off_ref[k]
     off = pl.multiple_of(off, 16)
     patch = x_ref[pl.ds(off, K), :].astype(jnp.float32)
     # Precision.HIGHEST is load-bearing; see _kernel.
     o_ref[0] = _word2int(jnp.dot(
-        w_ref[0], patch, precision=jax.lax.Precision.HIGHEST,
+        w_ref[k], patch, precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32))
 
 
@@ -173,11 +184,13 @@ def resample_conv_tm_pallas_v2(x, w, offsets, *, S: int, n_blocks: int,
     assert T >= need, (T, need)
 
     wT = w.transpose(0, 2, 1).astype(jnp.float32)  # [P, R, K]
+    w_bytes = P * R * K * 4
 
     B_pad = -(-B // _LANE) * _LANE
     if B_pad != B:
         x = jnp.pad(x, ((0, 0), (0, B_pad - B)))
-    lb = lane_tile or pick_lane_tile(T, B_pad)
+    # lane-tile budget: x is double-buffered; the VMEM-resident w is not
+    lb = lane_tile or pick_lane_tile(T, B_pad, reserve=w_bytes)
     lb = min(lb, B_pad)
     n_lane_tiles = -(-B_pad // lb)
     if n_lane_tiles * lb != B_pad:
@@ -189,7 +202,7 @@ def resample_conv_tm_pallas_v2(x, w, offsets, *, S: int, n_blocks: int,
         grid=(n_lane_tiles, n_blocks),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, R, K), lambda i, j: (j % P, 0, 0),
+            pl.BlockSpec((P, R, K), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((T, lb), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),

@@ -49,8 +49,9 @@ from ..utils.host import to_host
 __all__ = ["BatchedResampler", "make_batched_step", "BatchSpec"]
 
 
-# Phase-tiled (v2) weights above this size fall back to the dense kernel.
-_MAX_TILED_WEIGHT_BYTES = 8 * 1024 * 1024
+# Phase-tiled (v2) weights live whole in VMEM (ops/pallas_fir._kernel_v2);
+# above this size fall back to the dense kernel.
+_MAX_TILED_WEIGHT_BYTES = 4 * 1024 * 1024
 
 
 @dataclasses.dataclass(frozen=True)
@@ -288,6 +289,31 @@ class BatchedResampler:
             self._hist = jax.device_put(self._hist, self._lane_sharding)
         self._staged = np.zeros((0, self.B), dtype=np.int16)
         self._skip = 0
+
+    # -- checkpoint/resume (SURVEY.md §5: the state IS a checkpoint) -------
+
+    def state_dict(self) -> dict:
+        return {
+            "in_rate": self.in_rate, "out_rate": self.out_rate,
+            "quality": self.spec.quality,
+            "n_streams": self.n_streams, "channels": self.channels,
+            "hist": to_host(self._hist),
+            "staged": self._staged.copy(),
+            "skip": self._skip,
+        }
+
+    def load_state_dict(self, state: dict):
+        if (state["n_streams"], state["channels"]) != (self.n_streams,
+                                                       self.channels) or \
+                (state["in_rate"], state["out_rate"], state["quality"]) != \
+                (self.in_rate, self.out_rate, self.spec.quality):
+            raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
+        hist = jnp.asarray(state["hist"])
+        if self._lane_sharding is not None:
+            hist = jax.device_put(hist, self._lane_sharding)
+        self._hist = hist
+        self._staged = np.array(state["staged"], dtype=np.int16)
+        self._skip = int(state["skip"])
 
     # -- processing ------------------------------------------------------
 

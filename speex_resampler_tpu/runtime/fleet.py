@@ -27,6 +27,7 @@ from ..parallel.batch import BatchSpec, _launch_geometry, make_batched_step
 from ..utils.errors import ResamplerError, ResamplerErrorCode
 from ..utils.host import to_host
 from .native import make_stager
+from ..utils.profiling import LaunchStats
 
 __all__ = ["FleetResampler"]
 
@@ -58,6 +59,7 @@ class FleetResampler:
         self._stager = make_stager(n_streams, channels,
                                    self.bspec.in_per_launch)
         self._out: list[list[np.ndarray]] = [[] for _ in range(n_streams)]
+        self.stats = LaunchStats()
 
     # -- ingress ----------------------------------------------------------
 
@@ -100,9 +102,11 @@ class FleetResampler:
         self._bank(y, per_stream)
 
     def _run(self, slab: np.ndarray) -> np.ndarray:
-        x = jnp.asarray(slab)
-        self._hist, y = self._step(self._hist, x, self._w)
-        return to_host(y)
+        with self.stats.launch(slab.size,
+                               self.bspec.out_per_launch * self.B):
+            x = jnp.asarray(slab)
+            self._hist, y = self._step(self._hist, x, self._w)
+            return to_host(y)
 
     def _bank(self, y: np.ndarray, per_stream) -> None:
         outs = self._stager.unpack_all(y)  # [S, n_out, C]
@@ -112,6 +116,35 @@ class FleetResampler:
                 o = o[:per_stream[s]]
             if o.shape[0]:
                 self._out[s].append(o)
+
+    # -- checkpoint/resume (SURVEY.md §5) -----------------------------------
+
+    def state_dict(self) -> dict:
+        """Full serializable snapshot: device filter history, per-stream
+        staged input (and alignment-carry bytes), banked output."""
+        return {
+            "n_streams": self.n_streams, "channels": self.channels,
+            "hist": to_host(self._hist),
+            "staged": [self._stager.peek(s) for s in range(self.n_streams)],
+            "carry": [self._stager.carry(s) for s in range(self.n_streams)],
+            "banked": [[o.copy() for o in self._out[s]]
+                       for s in range(self.n_streams)],
+        }
+
+    def load_state_dict(self, state: dict):
+        if (state["n_streams"], state["channels"]) != (self.n_streams,
+                                                       self.channels):
+            raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
+        self._hist = jnp.asarray(state["hist"])
+        self._stager = make_stager(self.n_streams, self.channels,
+                                   self.bspec.in_per_launch)
+        for s in range(self.n_streams):
+            if len(state["staged"][s]):
+                self._stager.push(s, state["staged"][s])
+            if state["carry"][s]:
+                self._stager.push_bytes(s, state["carry"][s])
+        self._out = [[np.array(o) for o in outs]
+                     for outs in state["banked"]]
 
     # -- egress -----------------------------------------------------------
 

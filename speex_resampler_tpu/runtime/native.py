@@ -56,6 +56,10 @@ def load_runtime():
     lib.srt_fill_launch.argtypes = [c.c_void_p, c.c_void_p]
     lib.srt_fill_flush.restype = c.c_long
     lib.srt_fill_flush.argtypes = [c.c_void_p, c.c_void_p, c.c_void_p]
+    lib.srt_peek.argtypes = [c.c_void_p, c.c_int, c.c_void_p]
+    lib.srt_carry_size.restype = c.c_long
+    lib.srt_carry_size.argtypes = [c.c_void_p, c.c_int]
+    lib.srt_get_carry.argtypes = [c.c_void_p, c.c_int, c.c_void_p]
     lib.srt_unpack.argtypes = [c.c_void_p, c.c_void_p, c.c_long, c.c_int,
                                c.c_void_p]
     lib.srt_unpack_all.argtypes = [c.c_void_p, c.c_void_p, c.c_long,
@@ -132,6 +136,22 @@ class NativeStager:
             return None, staged
         return slab, staged
 
+    def peek(self, stream: int) -> np.ndarray:
+        """Staged frames for one stream (not consumed): int16 [n, C]."""
+        n = int(self.staged()[stream])
+        dst = np.empty((n, self.channels), dtype=np.int16)
+        if n:
+            self._lib.srt_peek(self._h, stream, _ptr(dst))
+        return dst
+
+    def carry(self, stream: int) -> bytes:
+        n = int(self._lib.srt_carry_size(self._h, stream))
+        if not n:
+            return b""
+        dst = np.empty(n, dtype=np.uint8)
+        self._lib.srt_get_carry(self._h, stream, _ptr(dst))
+        return dst.tobytes()
+
     def unpack_all(self, y: np.ndarray) -> np.ndarray:
         """y: int16 [n_out, B] -> [S, n_out, C]."""
         y = np.ascontiguousarray(y, dtype=np.int16)
@@ -204,6 +224,12 @@ class PyStager:
                 self._bufs[s][:f]
             self._bufs[s] = self._bufs[s][f:]
         return slab, staged
+
+    def peek(self, stream: int) -> np.ndarray:
+        return self._bufs[stream].copy()
+
+    def carry(self, stream: int) -> bytes:
+        return self._carry[stream]
 
     def unpack_all(self, y: np.ndarray) -> np.ndarray:
         n_out = y.shape[0]

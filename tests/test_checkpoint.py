@@ -1,0 +1,121 @@
+"""Checkpoint/resume: the streaming state is a serializable snapshot
+(SURVEY.md §5; SpeexResamplerState_ fields, resample.c:134-139).
+
+Contract: resuming from a mid-stream snapshot produces exactly the samples
+the uninterrupted run produces.
+"""
+
+import pickle
+
+import numpy as np
+import pytest
+
+from speex_resampler_tpu.core.resampler import ResamplerCore
+from speex_resampler_tpu.parallel.batch import BatchedResampler
+from speex_resampler_tpu.runtime.fleet import FleetResampler
+from speex_resampler_tpu.runtime.native import load_runtime
+
+
+def _chunks(x, sizes):
+    pos = 0
+    for n in sizes:
+        yield x[pos:pos + n]
+        pos += n
+    yield x[pos:]
+
+
+def test_core_checkpoint_roundtrip():
+    rng = np.random.default_rng(0)
+    x = (rng.integers(-32768, 32768, size=(9000, 2)) // 2).astype(np.int16)
+
+    ref = ResamplerCore(2, 44100, 48000, 44100, 48000, 7)
+    full = np.concatenate([ref.process_interleaved(c, 10**9)
+                           for c in _chunks(x, [3000, 2500])])
+
+    a = ResamplerCore(2, 44100, 48000, 44100, 48000, 7)
+    out1 = a.process_interleaved(x[:3000], 10**9)
+    blob = pickle.dumps(a.state_dict())
+
+    b = ResamplerCore(2, 44100, 48000, 44100, 48000, 7)
+    b.load_state_dict(pickle.loads(blob))
+    out2 = b.process_interleaved(x[3000:5500], 10**9)
+    out3 = b.process_interleaved(x[5500:], 10**9)
+    resumed = np.concatenate([out1, out2, out3])
+    assert np.array_equal(resumed, full)
+
+
+def test_core_checkpoint_after_rate_switch():
+    """Snapshot taken while magic samples are pending must survive."""
+    rng = np.random.default_rng(1)
+    x = (rng.integers(-32768, 32768, size=(6000, 1)) // 2).astype(np.int16)
+
+    def run(snapshot_at_switch):
+        core = ResamplerCore(1, 44100, 48000, 44100, 48000, 7)
+        outs = [core.process_interleaved(x[:2000], 10**9)]
+        core.set_quality(3)          # filter shrink -> magic samples stashed
+        core.set_rate(44100, 24000)
+        if snapshot_at_switch:
+            blob = pickle.dumps(core.state_dict())
+            core = ResamplerCore(1, 44100, 48000, 44100, 48000, 7)
+            core.load_state_dict(pickle.loads(blob))
+        outs.append(core.process_interleaved(x[2000:], 10**9))
+        return np.concatenate(outs)
+
+    assert np.array_equal(run(False), run(True))
+
+
+def test_batched_checkpoint_roundtrip():
+    rng = np.random.default_rng(2)
+    S, C = 2, 2
+    frames = (rng.integers(-32768, 32768, size=(S, 8000, C)) // 2).astype(
+        np.int16)
+
+    ref = BatchedResampler(S, C, 44100, 48000, 7, use_pallas=False)
+    full = np.concatenate([ref.process(frames), ref.flush()], axis=1)
+
+    a = BatchedResampler(S, C, 44100, 48000, 7, use_pallas=False)
+    out1 = a.process(frames[:, :3000])
+    blob = pickle.dumps(a.state_dict())
+
+    b = BatchedResampler(S, C, 44100, 48000, 7, use_pallas=False)
+    b.load_state_dict(pickle.loads(blob))
+    out2 = b.process(frames[:, 3000:])
+    out3 = b.flush()
+    resumed = np.concatenate([out1, out2, out3], axis=1)
+    assert np.array_equal(resumed, full)
+
+
+@pytest.mark.skipif(load_runtime() is None,
+                    reason="native runtime not buildable")
+def test_fleet_checkpoint_roundtrip():
+    rng = np.random.default_rng(3)
+    S, C = 2, 1
+    frames = (rng.integers(-32768, 32768, size=(S, 7000, C)) // 2).astype(
+        np.int16)
+
+    ref = FleetResampler(S, C, 44100, 48000, 7, target_chunk_frames=1024,
+                         use_pallas=False)
+    for s in range(S):
+        ref.push(s, frames[s])
+    ref.poll()
+    ref.flush()
+    full = [ref.pull(s) for s in range(S)]
+
+    a = FleetResampler(S, C, 44100, 48000, 7, target_chunk_frames=1024,
+                       use_pallas=False)
+    for s in range(S):
+        raw = frames[s, :4000].astype("<i2").tobytes()
+        a.push_bytes(s, raw[:5555])       # unaligned split -> carry bytes
+        a.push_bytes(s, raw[5555:])
+    a.poll()
+    blob = pickle.dumps(a.state_dict())
+
+    b = FleetResampler(S, C, 44100, 48000, 7, target_chunk_frames=1024,
+                       use_pallas=False)
+    b.load_state_dict(pickle.loads(blob))
+    for s in range(S):
+        b.push_bytes(s, frames[s, 4000:].astype("<i2").tobytes())
+    b.poll()
+    b.flush()
+    for s in range(S):
+        assert np.array_equal(b.pull(s), full[s])
