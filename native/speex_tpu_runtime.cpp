@@ -55,6 +55,7 @@ struct Runtime {
   long B;     // n_streams * channels
   std::vector<Fifo> fifo;                 // per stream, interleaved frames
   std::vector<std::vector<uint8_t>> carry;  // per stream, byte-alignment
+  std::vector<uint8_t> active;            // slots excluded from lockstep
 };
 
 constexpr long kTimeTile = 64;  // rows per cache-blocked transpose tile
@@ -73,6 +74,7 @@ void* srt_create(int n_streams, int channels, long n_in_per_launch) {
   rt->B = static_cast<long>(n_streams) * channels;
   rt->fifo.resize(static_cast<size_t>(n_streams));
   rt->carry.resize(static_cast<size_t>(n_streams));
+  rt->active.assign(static_cast<size_t>(n_streams), 1);
   return rt;
 }
 
@@ -128,11 +130,26 @@ void srt_staged(void* h, long* out) {
              rt->channels;
 }
 
-// Number of full launch quanta available across ALL streams (lockstep).
+// Mark a slot (in)active: inactive slots are excluded from the lockstep
+// readiness test and zero-filled in launch slabs (dynamic fleet occupancy).
+// Deactivating clears the slot's buffers.
+int srt_set_active(void* h, int stream, int is_active) {
+  auto* rt = static_cast<Runtime*>(h);
+  if (!rt || stream < 0 || stream >= rt->n_streams) return -1;
+  rt->active[static_cast<size_t>(stream)] = is_active ? 1 : 0;
+  if (!is_active) {
+    rt->fifo[static_cast<size_t>(stream)] = Fifo();
+    rt->carry[static_cast<size_t>(stream)].clear();
+  }
+  return 0;
+}
+
+// Number of full launch quanta available across all ACTIVE streams.
 long srt_ready_launches(void* h) {
   auto* rt = static_cast<Runtime*>(h);
   long m = -1;
   for (int s = 0; s < rt->n_streams; ++s) {
+    if (!rt->active[static_cast<size_t>(s)]) continue;
     long f = static_cast<long>(rt->fifo[static_cast<size_t>(s)].size()) /
              rt->channels;
     m = (m < 0 || f < m) ? f : m;
@@ -147,13 +164,19 @@ int srt_fill_launch(void* h, int16_t* out) {
   auto* rt = static_cast<Runtime*>(h);
   const int C = rt->channels;
   const long B = rt->B, n_in = rt->n_in;
-  for (int s = 0; s < rt->n_streams; ++s)
+  bool any_inactive = false;
+  for (int s = 0; s < rt->n_streams; ++s) {
+    if (!rt->active[static_cast<size_t>(s)]) { any_inactive = true; continue; }
     if (static_cast<long>(rt->fifo[static_cast<size_t>(s)].size()) <
         n_in * C)
       return -1;
+  }
+  if (any_inactive)
+    std::memset(out, 0, static_cast<size_t>(n_in) * B * 2);
   for (long t0 = 0; t0 < n_in; t0 += kTimeTile) {
     const long t1 = (t0 + kTimeTile < n_in) ? t0 + kTimeTile : n_in;
     for (int s = 0; s < rt->n_streams; ++s) {
+      if (!rt->active[static_cast<size_t>(s)]) continue;
       const int16_t* src = rt->fifo[static_cast<size_t>(s)].front() + t0 * C;
       int16_t* dst = out + t0 * B + static_cast<long>(s) * C;
       for (long t = t0; t < t1; ++t, src += C, dst += B)
@@ -161,7 +184,9 @@ int srt_fill_launch(void* h, int16_t* out) {
     }
   }
   for (int s = 0; s < rt->n_streams; ++s)
-    rt->fifo[static_cast<size_t>(s)].consume(static_cast<size_t>(n_in) * C);
+    if (rt->active[static_cast<size_t>(s)])
+      rt->fifo[static_cast<size_t>(s)].consume(
+          static_cast<size_t>(n_in) * C);
   return 0;
 }
 
@@ -175,7 +200,9 @@ long srt_fill_flush(void* h, int16_t* out, long* staged_out) {
   const long B = rt->B, n_in = rt->n_in;
   long mx = 0;
   for (int s = 0; s < rt->n_streams; ++s) {
-    long f = static_cast<long>(rt->fifo[static_cast<size_t>(s)].size()) / C;
+    long f = rt->active[static_cast<size_t>(s)]
+        ? static_cast<long>(rt->fifo[static_cast<size_t>(s)].size()) / C
+        : 0;
     if (f > n_in) f = n_in;
     staged_out[s] = f;
     if (f > mx) mx = f;

@@ -260,6 +260,25 @@ class ResamplerCore:
             self._history[c] = np.zeros(N - 1, dtype=np.float32)
             self._pending[c] = np.zeros(0, dtype=np.float32)
 
+    def import_history(self, history: np.ndarray):
+        """Adopt filter memory from an external engine (e.g. one lane of a
+        batched/fleet engine at a launch-quantum boundary, where
+        last_sample = samp_frac_num = 0 by construction).
+
+        history: [filt_len-1, C] samples (int16 values or f32 scale).
+        """
+        N = self._spec.filt_len
+        history = np.asarray(history, dtype=np.float32)
+        if history.shape != (N - 1, self.nb_channels):
+            raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
+        self.started = True
+        self.last_sample[:] = 0
+        self.samp_frac_num[:] = 0
+        self.magic_samples[:] = 0
+        for c in range(self.nb_channels):
+            self._history[c] = np.ascontiguousarray(history[:, c])
+            self._pending[c] = np.zeros(0, dtype=np.float32)
+
     # ------------------------------------------------------------------
     # Checkpoint / resume.  The streaming state IS a checkpoint (SURVEY.md
     # §5): per channel mem history, last_sample, samp_frac_num, pending

@@ -136,52 +136,53 @@ def resample_conv_tm_pallas(x, w, *, stride: int, interpret: bool = False,
 
 
 # ---------------------------------------------------------------------------
-# v2: MXU-aligned phase-tiled kernel.
+# v2: MXU-aligned phase-tiled kernel, one weight PERIOD per program.
 #
 # v1 pays for its one-dense-GEMM-per-superblock shape: [R=den, L=N+num] tiles
-# fill the 128x128 MXU poorly (for 44.1k->48k Q7: 12 systolic passes per
-# 160 outputs).  v2 tiles outputs in blocks of exactly R=128 (one full MXU
-# pass on the output axis) with cyclic per-block-phase weights
-# (ops/phase.build_phase_tiled_weights): 4 passes per 128 outputs, ~2.4x
-# fewer MXU passes, and every dynamic input slice is 16-aligned (the int16
-# sublane tile) because the sub-16 start remainder is pre-folded into each
-# weight matrix as leading zero rows.
+# fill the 128x128 MXU poorly (12 systolic passes per 160 outputs for
+# 44.1k->48k Q7).  Here outputs are tiled in blocks of exactly R=128 (one
+# full MXU pass on the output axis) with cyclic per-block-phase weights
+# (ops/phase.build_phase_tiled_weights), and each program executes one full
+# weight period of P blocks, so every weight index and input offset is a
+# compile-time constant: no SMEM lookups, no per-block program overhead
+# (measured: 640 one-block programs/launch ran 1.4x slower than 32
+# period-programs).  All input slices are 16-aligned (the int16 sublane
+# tile) because each block's sub-16 start remainder is pre-folded into its
+# weight matrix as leading zero rows.  The whole weight set stays resident
+# in VMEM across the launch.
 # ---------------------------------------------------------------------------
 
 
-def _kernel_v2(off_ref, w_ref, x_ref, o_ref, *, P: int, S: int, K: int):
-    # The whole cyclic weight set rides in VMEM with a constant index map
-    # (fetched once per launch): re-fetching w[j % P] per block would move
-    # more HBM bytes than the input itself (measured 84 MB vs 39 MB per
-    # launch for the flagship config — a 27% end-to-end penalty).
+def _kernel_v2(w_ref, x_ref, o_ref, *, offs: tuple, S: int, K: int):
     j = pl.program_id(1)
-    k = j % P
-    off = (j // P) * S + off_ref[k]
-    off = pl.multiple_of(off, 16)
-    patch = x_ref[pl.ds(off, K), :].astype(jnp.float32)
-    # Precision.HIGHEST is load-bearing; see _kernel.
-    o_ref[0] = _word2int(jnp.dot(
-        w_ref[k], patch, precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32))
+    base = j * S
+    for m, off_m in enumerate(offs):
+        patch = x_ref[pl.ds(base + off_m, K), :].astype(jnp.float32)
+        # Precision.HIGHEST is load-bearing; see _kernel.
+        o_ref[m] = _word2int(jnp.dot(
+            w_ref[m], patch, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32))
 
 
-@functools.partial(jax.jit, static_argnames=("S", "n_blocks", "interpret",
-                                             "lane_tile"))
-def resample_conv_tm_pallas_v2(x, w, offsets, *, S: int, n_blocks: int,
-                               interpret: bool = False,
+@functools.partial(jax.jit, static_argnames=("offsets", "S", "n_blocks",
+                                             "interpret", "lane_tile"))
+def resample_conv_tm_pallas_v2(x, w, offsets: tuple, *, S: int,
+                               n_blocks: int, interpret: bool = False,
                                lane_tile: int | None = None):
     """Phase-tiled time-major resample launch.
 
     x:       int16[T, B]   history ++ chunk ++ tail pad; block j reads rows
                            (j//P)*S + offsets[j%P] .. +K  (all 16-aligned)
     w:       f32[P, K, R]  cyclic weights (ops/phase.build_phase_tiled_weights)
-    offsets: int32[P]
-    returns int16[n_blocks * R, B].
+    offsets: static tuple of P ints
+    returns int16[n_blocks * R, B];  n_blocks must be a multiple of P.
     """
     P, K, R = w.shape
     T, B = x.shape
-    need = (max(1, n_blocks) - 1) // P * S + int(K)  # lower bound sans offset
-    assert T >= need, (T, need)
+    assert len(offsets) == P and n_blocks % P == 0, (len(offsets), P,
+                                                     n_blocks)
+    n_periods = n_blocks // P
+    assert T >= (n_periods - 1) * S + offsets[-1] + K, (T, n_periods, S, K)
 
     wT = w.transpose(0, 2, 1).astype(jnp.float32)  # [P, R, K]
     w_bytes = P * R * K * 4
@@ -189,8 +190,13 @@ def resample_conv_tm_pallas_v2(x, w, offsets, *, S: int, n_blocks: int,
     B_pad = -(-B // _LANE) * _LANE
     if B_pad != B:
         x = jnp.pad(x, ((0, 0), (0, B_pad - B)))
-    # lane-tile budget: x is double-buffered; the VMEM-resident w is not
-    lb = lane_tile or pick_lane_tile(T, B_pad, reserve=w_bytes)
+    if lane_tile is None:
+        # VMEM: x slab double-buffered (2*T*lb*2) + resident w + out block
+        # double-buffered (2*P*R*lb*2) within ~14 MB
+        lb = (14 * 1024 * 1024 - w_bytes) // (4 * T + 4 * P * R)
+        lb = max(_LANE, (lb // _LANE) * _LANE)
+    else:
+        lb = lane_tile
     lb = min(lb, B_pad)
     n_lane_tiles = -(-B_pad // lb)
     if n_lane_tiles * lb != B_pad:
@@ -198,16 +204,15 @@ def resample_conv_tm_pallas_v2(x, w, offsets, *, S: int, n_blocks: int,
         B_pad = n_lane_tiles * lb
 
     y = pl.pallas_call(
-        functools.partial(_kernel_v2, P=P, S=S, K=K),
-        grid=(n_lane_tiles, n_blocks),
+        functools.partial(_kernel_v2, offs=tuple(offsets), S=S, K=K),
+        grid=(n_lane_tiles, n_periods),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((P, R, K), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((T, lb), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, R, lb), lambda i, j: (j, 0, i),
+        out_specs=pl.BlockSpec((P, R, lb), lambda i, j: (j, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_blocks, R, B_pad), jnp.int16),
         cost_estimate=pl.CostEstimate(
@@ -215,7 +220,7 @@ def resample_conv_tm_pallas_v2(x, w, offsets, *, S: int, n_blocks: int,
             bytes_accessed=T * B_pad * 2 + n_blocks * R * B_pad * 2,
             transcendentals=0),
         interpret=interpret,
-    )(jnp.asarray(offsets, dtype=jnp.int32), wT, x)
+    )(wT, x)
 
     y = y.reshape(n_blocks * R, B_pad)
     return y[:, :B] if B_pad != B else y

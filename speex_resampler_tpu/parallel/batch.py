@@ -144,9 +144,10 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
         n_periods = bspec.n_blocks // ptw.P
         T_req = (n_periods - 1) * ptw.S + int(ptw.offsets[-1]) + ptw.K
         pad = max(0, T_req - (N - 1 + n_in))
-        offsets = jnp.asarray(ptw.offsets)
+        offsets = tuple(int(o) for o in ptw.offsets)
         conv = functools.partial(pallas_fir.resample_conv_tm_pallas_v2,
-                                 S=ptw.S, n_blocks=bspec.n_blocks,
+                                 offsets=offsets, S=ptw.S,
+                                 n_blocks=bspec.n_blocks,
                                  interpret=pallas_interpret)
 
         @functools.partial(jax.jit, donate_argnums=(0,))
@@ -154,7 +155,7 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
             X = jnp.concatenate(
                 [hist, x,
                  jnp.zeros((pad, x.shape[1]), dtype=jnp.int16)], axis=0)
-            y = conv(X, w, offsets)[:n_out]
+            y = conv(X, w)[:n_out]
             return jax.lax.dynamic_slice_in_dim(X, n_in, N - 1, axis=0), y
 
         return step, jnp.asarray(ptw.w)

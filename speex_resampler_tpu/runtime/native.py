@@ -50,6 +50,8 @@ def load_runtime():
     lib.srt_push_bytes.restype = c.c_long
     lib.srt_push_bytes.argtypes = [c.c_void_p, c.c_int, c.c_void_p, c.c_long]
     lib.srt_staged.argtypes = [c.c_void_p, c.c_void_p]
+    lib.srt_set_active.restype = c.c_int
+    lib.srt_set_active.argtypes = [c.c_void_p, c.c_int, c.c_int]
     lib.srt_ready_launches.restype = c.c_long
     lib.srt_ready_launches.argtypes = [c.c_void_p]
     lib.srt_fill_launch.restype = c.c_int
@@ -111,6 +113,12 @@ class NativeStager:
         if n < 0:
             raise ValueError(f"srt_push_bytes failed for stream {stream}")
         return int(n)
+
+    def set_active(self, stream: int, active: bool) -> None:
+        """Inactive slots are excluded from lockstep readiness and
+        zero-filled in launch slabs (dynamic fleet occupancy)."""
+        if self._lib.srt_set_active(self._h, stream, int(active)) != 0:
+            raise ValueError(f"bad stream {stream}")
 
     def staged(self) -> np.ndarray:
         out = np.zeros(self.n_streams, dtype=np.int64)
@@ -179,6 +187,7 @@ class PyStager:
         self._bufs = [np.zeros((0, channels), dtype=np.int16)
                       for _ in range(n_streams)]
         self._carry = [b""] * n_streams
+        self._active = [True] * n_streams
 
     def push(self, stream: int, frames: np.ndarray) -> None:
         f = np.ascontiguousarray(frames, dtype=np.int16)
@@ -197,17 +206,28 @@ class PyStager:
         self.push(stream, frames)
         return frames.shape[0]
 
+    def set_active(self, stream: int, active: bool) -> None:
+        self._active[stream] = bool(active)
+        if not active:
+            self._bufs[stream] = np.zeros((0, self.channels), dtype=np.int16)
+            self._carry[stream] = b""
+
     def staged(self) -> np.ndarray:
         return np.array([b.shape[0] for b in self._bufs], dtype=np.int64)
 
     def ready_launches(self) -> int:
-        return int(self.staged().min()) // self.n_in
+        act = [b.shape[0] for b, a in zip(self._bufs, self._active) if a]
+        if not act:
+            return 0
+        return int(min(act)) // self.n_in
 
     def fill_launch(self) -> np.ndarray:
         if self.ready_launches() < 1:
             raise ValueError("not enough staged frames for a launch")
-        slab = np.empty((self.n_in, self.B), dtype=np.int16)
+        slab = np.zeros((self.n_in, self.B), dtype=np.int16)
         for s in range(self.n_streams):
+            if not self._active[s]:
+                continue
             slab[:, s * self.channels:(s + 1) * self.channels] = \
                 self._bufs[s][:self.n_in]
             self._bufs[s] = self._bufs[s][self.n_in:]
@@ -215,6 +235,7 @@ class PyStager:
 
     def fill_flush(self) -> tuple[np.ndarray | None, np.ndarray]:
         staged = np.minimum(self.staged(), self.n_in)
+        staged[~np.array(self._active)] = 0
         if staged.max() == 0:
             return None, staged
         slab = np.zeros((self.n_in, self.B), dtype=np.int16)

@@ -1,0 +1,131 @@
+"""Heterogeneous fleet manager tests (SURVEY §7 hard part 6)."""
+
+import numpy as np
+import pytest
+
+from speex_resampler_tpu.core.resampler import ResamplerCore
+from speex_resampler_tpu.runtime.multifleet import MultiFleet
+from speex_resampler_tpu.utils.errors import ResamplerError
+
+from conftest import assert_lsb_close
+
+
+def _ref(frames, in_rate, out_rate, q, skip_tail=False):
+    core = ResamplerCore(frames.shape[1], in_rate, out_rate, in_rate,
+                         out_rate, q)
+    return core.process_interleaved(frames, 10**9)
+
+
+def test_multifleet_heterogeneous_streams():
+    rng = np.random.default_rng(0)
+    mf = MultiFleet(channels=2, capacity_per_bucket=4,
+                    target_chunk_frames=512, use_pallas=False)
+    cfgs = {"a": (44100, 48000, 7), "b": (24000, 48000, 5),
+            "c": (44100, 24000, 5), "d": (44100, 48000, 7)}
+    data = {}
+    for sid, (ir, orr, q) in cfgs.items():
+        mf.add_stream(sid, ir, orr, q)
+        data[sid] = (rng.integers(-32768, 32768, size=(6000, 2)) // 2
+                     ).astype(np.int16)
+    # ragged pushes
+    for start in range(0, 6000, 777):
+        for sid in cfgs:
+            mf.push(sid, data[sid][start:start + 777])
+        mf.poll()
+    mf.flush()
+    for sid, (ir, orr, q) in cfgs.items():
+        got = mf.pull(sid)
+        ref = _ref(data[sid], ir, orr, q)
+        m = min(len(got), len(ref))
+        assert got.shape[0] == ref.shape[0], (sid, got.shape, ref.shape)
+        assert_lsb_close(got[:m].ravel(), ref[:m].ravel())
+
+
+def test_multifleet_dynamic_attach_detach():
+    rng = np.random.default_rng(1)
+    mf = MultiFleet(channels=1, capacity_per_bucket=2,
+                    target_chunk_frames=256, use_pallas=False)
+    x1 = (rng.integers(-20000, 20000, size=(3000, 1))).astype(np.int16)
+    x2 = (rng.integers(-20000, 20000, size=(3000, 1))).astype(np.int16)
+
+    mf.add_stream("s1", 24000, 48000, 5)
+    mf.push("s1", x1)
+    mf.poll()
+    # capacity 2: a second and third stream; third must fail until a slot
+    # frees
+    mf.add_stream("s2", 24000, 48000, 5)
+    with pytest.raises(ResamplerError):
+        mf.add_stream("s3", 24000, 48000, 5)
+
+    # end s1, drain, pull -> slot frees -> s3 fits
+    mf.end_stream("s1")
+    mf.poll()
+    got1 = mf.pull("s1")
+    ref1 = _ref(x1, 24000, 48000, 5)
+    assert got1.shape == ref1.shape
+    assert_lsb_close(got1.ravel(), ref1.ravel())
+
+    mf.add_stream("s3", 24000, 48000, 5)
+    mf.push("s3", x2)
+    mf.push("s2", x2)
+    mf.flush()
+    ref2 = _ref(x2, 24000, 48000, 5)
+    for sid in ("s2", "s3"):
+        got = mf.pull(sid)
+        assert got.shape == ref2.shape
+        assert_lsb_close(got.ravel(), ref2.ravel())
+
+
+def test_multifleet_exact_output_budget():
+    """Zero-padding a drain must not leak extra output frames."""
+    rng = np.random.default_rng(2)
+    mf = MultiFleet(channels=1, capacity_per_bucket=2,
+                    target_chunk_frames=1000, use_pallas=False)
+    n = 1234  # far from the launch quantum
+    x = (rng.integers(-20000, 20000, size=(n, 1))).astype(np.int16)
+    mf.add_stream("s", 44100, 48000, 7)
+    mf.push("s", x)
+    mf.end_stream("s")
+    mf.poll()
+    got = mf.pull("s")
+    ref = _ref(x, 44100, 48000, 7)
+    assert got.shape == ref.shape
+    assert_lsb_close(got.ravel(), ref.ravel())
+    # stream record fully gone
+    with pytest.raises(ResamplerError):
+        mf.pull("s")
+
+
+def test_multifleet_set_stream_rate():
+    rng = np.random.default_rng(3)
+    mf = MultiFleet(channels=1, capacity_per_bucket=2,
+                    target_chunk_frames=512, use_pallas=False)
+    xa = (rng.integers(-20000, 20000, size=(2500, 1))).astype(np.int16)
+    xb = (rng.integers(-20000, 20000, size=(2500, 1))).astype(np.int16)
+    mf.add_stream("s", 24000, 48000, 5)
+    mf.push("s", xa)
+    mf.set_stream_rate("s", 44100, 48000, 7)
+    mf.push("s", xb)
+    mf.flush()
+    got = mf.pull("s")
+    ref = np.concatenate([_ref(xa, 24000, 48000, 5),
+                          _ref(xb, 44100, 48000, 7)])
+    assert got.shape == ref.shape
+    assert_lsb_close(got.ravel(), ref.ravel())
+
+
+def test_multifleet_remove_stream_drops_staged():
+    rng = np.random.default_rng(4)
+    mf = MultiFleet(channels=1, capacity_per_bucket=2,
+                    target_chunk_frames=256, use_pallas=False)
+    x = (rng.integers(-20000, 20000, size=(1000, 1))).astype(np.int16)
+    mf.add_stream("s", 24000, 48000, 5)
+    mf.add_stream("t", 24000, 48000, 5)
+    mf.push("s", x)
+    mf.push("t", x)
+    mf.poll()
+    banked_before = mf.pull("t").shape[0]
+    mf.remove_stream("s")
+    # slot is free again
+    mf.add_stream("u", 24000, 48000, 5)
+    assert banked_before > 0
