@@ -49,20 +49,29 @@ def main():
 
     spec = fd.design_filter(147, 160, QUALITY)
     bspec = _launch_geometry(spec, TARGET_IN_FRAMES, use_pallas=use_pallas)
-    step, w = make_batched_step(spec, bspec, use_pallas=use_pallas)
+    bstep = make_batched_step(spec, bspec, use_pallas=use_pallas)
+    step, w = bstep.fn, bstep.w
+    n_real = bspec.in_per_launch
 
     rng = np.random.default_rng(0)
-    x_np = (rng.integers(-32768, 32768, size=(bspec.in_per_launch, B))
-            // 2).astype(np.int16)
+    x_np = np.zeros((bstep.chunk_rows, B), dtype=np.int16)
+    x_np[:n_real] = (rng.integers(-32768, 32768, size=(n_real, B))
+                     // 2).astype(np.int16)
     x = jnp.asarray(x_np)
-    hist0 = jnp.zeros((spec.filt_len - 1, B), dtype=jnp.int16)
+    hist0 = jnp.zeros((bstep.hist_rows, B), dtype=jnp.int16)
 
     @functools.partial(jax.jit, static_argnames=("iters",))
     def rep(hist, x, w, salt, iters):
+        # Each step must be genuinely iteration-dependent or XLA's
+        # loop-invariant code motion elides it (hist2 is a slice of the
+        # constant x, so the carried history alone is NOT enough).  Salting
+        # the small history with the accumulating checksum creates a true
+        # cross-iteration dependence at ~0.5 MB copy cost.
         def body(carry, _):
             h, chk = carry
-            h, y = step(h, x + salt, w)
-            return (h, chk + y[0, 0].astype(jnp.int32)), None
+            hs = h.at[0, :].add((chk + salt).astype(jnp.int16))
+            h2, y = step(hs, x, w)
+            return (h2, chk + y[0, 0].astype(jnp.int32)), None
         (h, chk), _ = lax.scan(body, (hist, jnp.int32(0)), length=iters)
         return chk
 
@@ -83,12 +92,13 @@ def main():
     # end-to-end through the public engine (host staging + transfers)
     eng = BatchedResampler(N_STREAMS, CHANNELS, IN_RATE, OUT_RATE, QUALITY,
                            target_chunk_frames=bspec.in_per_launch)
-    eng.process(x_np)  # warmup/compile
+    chunk_np = x_np[:n_real]
+    eng.process(chunk_np)  # warmup/compile
     t0 = time.perf_counter()
     e2e_iters = 5
     produced = 0
     for _ in range(e2e_iters):
-        out = eng.process(x_np)
+        out = eng.process(chunk_np)
         produced += out.size
     e2e_sps = produced / (time.perf_counter() - t0)
 

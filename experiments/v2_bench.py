@@ -27,12 +27,14 @@ def bench(kernel_name, use_pallas):
     bspec = _launch_geometry(spec, TARGET, use_pallas=use_pallas)
     if kernel_name == "dense-pallas":
         bspec = _launch_geometry(spec, TARGET, use_pallas=False)
-    step, w = make_batched_step(spec, bspec, use_pallas=use_pallas)
+    bstep = make_batched_step(spec, bspec, use_pallas=use_pallas)
+    step, w = bstep.fn, bstep.w
     rng = np.random.default_rng(0)
-    x = jnp.asarray((rng.integers(-32768, 32768,
-                                  size=(bspec.in_per_launch, B)) // 2
-                     ).astype(np.int16))
-    hist0 = jnp.zeros((spec.filt_len - 1, B), dtype=jnp.int16)
+    x_np = np.zeros((bstep.chunk_rows, B), dtype=np.int16)
+    x_np[:bspec.in_per_launch] = (rng.integers(
+        -32768, 32768, size=(bspec.in_per_launch, B)) // 2).astype(np.int16)
+    x = jnp.asarray(x_np)
+    hist0 = jnp.zeros((bstep.hist_rows, B), dtype=jnp.int16)
 
     @functools.partial(jax.jit, static_argnames=("iters",))
     def rep(hist, x, w, salt, iters):

@@ -33,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["resample_conv_tm_pallas", "resample_conv_tm_pallas_v2",
-           "pick_lane_tile"]
+           "resample_conv_tm_pallas_v3", "pick_lane_tile"]
 
 _LANE = 128
 # per-program VMEM budget for the x tile; Pallas double-buffers grid inputs,
@@ -221,6 +221,187 @@ def resample_conv_tm_pallas_v2(x, w, offsets: tuple, *, S: int,
             transcendentals=0),
         interpret=interpret,
     )(wT, x)
+
+    y = y.reshape(n_blocks * R, B_pad)
+    return y[:, :B] if B_pad != B else y
+
+
+# ---------------------------------------------------------------------------
+# v3: concat-free phase-tiled kernel.
+#
+# v2 consumes one contiguous [T, B] slab, which forces the engine step to
+# materialize concat(history, chunk, pad) — a full extra read+write of the
+# chunk (~0.2 ms of the 0.78 ms flagship launch).  v3 reads the history and
+# the chunk as SEPARATE refs and assembles each block's patch in VMEM
+# scratch from statically-split aligned copies:
+#
+#   virtual axis = hist_pad(H rows) ++ chunk, H = filt_len-1 rounded up to
+#   16; the sub-16 remainder is folded into the weights as an origin shift
+#   (ops/phase.build_phase_tiled_weights(origin_shift=H-(filt_len-1))), so
+#   the hist/chunk boundary and every patch start stay 16-aligned.
+#
+# The chunk is viewed through V overlapping S-row block windows (the same
+# array passed V times with index maps j-1+v), so a period's patches span
+# [j*S - H, j*S + S + K) without any halo materialization.  All split
+# points are compile-time constants; only the j==0 branch (history prefix)
+# is a runtime predicate.
+# ---------------------------------------------------------------------------
+
+
+def _v3_back(S: int, H: int) -> int:
+    """How many S-blocks of look-back the history prefix spans."""
+    return -(-H // S)
+
+
+def _v3_views(S: int, K: int, H: int, offsets) -> int:
+    """Number of S-row chunk views a period's patches can touch."""
+    back = _v3_back(S, H)
+    off_max = int(max(offsets))
+    return (back * S - H + off_max + K - 1) // S + 1
+
+
+def _v3_parts(off: int, S: int, K: int, H: int, j_case):
+    """Static copy plan for one block's patch: tuple of (src, s0, dst, len)
+    where src is 'h' (history ref) or a chunk view index.
+
+    j_case: an int j < back (periods whose patches may reach into the
+    history prefix), or "general" for j >= back, where view v holds chunk
+    block j - back + v.
+    """
+    back = _v3_back(S, H)
+    parts = []
+    r = 0
+    while r < K:
+        if j_case != "general":
+            vrow = j_case * S + off + r     # virtual row (hist ++ chunk)
+            if vrow < H:
+                ln = min(H - vrow, K - r)
+                parts.append(("h", vrow, r, ln))
+                r += ln
+                continue
+            c = vrow - H
+            v = c // S + back - j_case
+            s0 = c % S
+        else:
+            u = back * S - H + off + r      # row relative to view-0 base
+            v = u // S
+            s0 = u - v * S
+        ln = min(S - s0, K - r)
+        parts.append((v, s0, r, ln))
+        r += ln
+    return tuple(parts)
+
+
+def _kernel_v3(w_ref, h_ref, *rest, offs: tuple, S: int, K: int, H: int,
+               n_views: int):
+    view_refs = rest[:n_views]
+    o_ref = rest[n_views]
+    scratch = rest[n_views + 1]
+    j = pl.program_id(1)
+    back = _v3_back(S, H)
+
+    def assemble(parts):
+        for src, s0, dst, ln in parts:
+            ref = h_ref if src == "h" else view_refs[src]
+            scratch[pl.ds(dst, ln), :] = ref[pl.ds(s0, ln), :].astype(
+                jnp.float32)
+
+    for m, off_m in enumerate(offs):
+        gen = _v3_parts(off_m, S, K, H, "general")
+        cases = [(jc, _v3_parts(off_m, S, K, H, jc)) for jc in range(back)]
+        cases = [(jc, pl_) for jc, pl_ in cases if pl_ != gen]
+        if not cases:
+            assemble(gen)
+        else:
+            @pl.when(j >= back)
+            def _():
+                assemble(gen)
+
+            for jc, plan in cases:
+                @pl.when(j == jc)
+                def _(plan=plan):
+                    assemble(plan)
+        # Precision.HIGHEST is load-bearing; see _kernel.
+        o_ref[m] = _word2int(jnp.dot(
+            w_ref[m], scratch[...], precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "S", "n_blocks",
+                                             "interpret", "lane_tile"))
+def resample_conv_tm_pallas_v3(hist, x, w, offsets: tuple, *, S: int,
+                               n_blocks: int, interpret: bool = False,
+                               lane_tile: int | None = None):
+    """Concat-free phase-tiled launch.
+
+    hist: int16[H, B]      H = round16(filt_len-1) trailing samples
+    x:    int16[T_c, B]    T_c = (n_periods + V - 1) * S; real data in
+                           rows [0, n_in), zeros in [n_in, n_in + K)
+    w:    f32[P, K, R]     built with origin_shift = H - (filt_len - 1)
+    returns int16[n_blocks * R, B].
+    """
+    P, K, R = w.shape
+    H, B = hist.shape
+    T_c = x.shape[0]
+    assert H % 16 == 0 and x.shape[1] == B
+    n_periods = n_blocks // P
+    back = _v3_back(S, H)
+    V = _v3_views(S, K, H, offsets)
+    assert T_c >= (n_periods - back + V) * S, (T_c, n_periods, V, S)
+
+    wT = w.transpose(0, 2, 1).astype(jnp.float32)  # [P, R, K]
+    w_bytes = P * R * K * 4
+
+    B_pad = -(-B // _LANE) * _LANE
+    if B_pad != B:
+        hist = jnp.pad(hist, ((0, 0), (0, B_pad - B)))
+        x = jnp.pad(x, ((0, 0), (0, B_pad - B)))
+    if lane_tile is None:
+        # views (V, double-buffered) + resident w + out (double) + hist +
+        # f32 scratch within ~14 MB
+        denom = 4 * V * S + 4 * P * R + 4 * H + 4 * K
+        lb = (14 * 1024 * 1024 - w_bytes) // denom
+        lb = max(_LANE, (lb // _LANE) * _LANE)
+    else:
+        lb = lane_tile
+    lb = min(lb, B_pad)
+    n_lane_tiles = -(-B_pad // lb)
+    if n_lane_tiles * lb != B_pad:
+        pad = n_lane_tiles * lb - B_pad
+        hist = jnp.pad(hist, ((0, 0), (0, pad)))
+        x = jnp.pad(x, ((0, 0), (0, pad)))
+        B_pad = n_lane_tiles * lb
+
+    n_chunk_blocks = T_c // S
+
+    def view_spec(v):
+        return pl.BlockSpec(
+            (S, lb),
+            lambda i, j, v=v: (jnp.clip(j - back + v, 0,
+                                        n_chunk_blocks - 1), i),
+            memory_space=pltpu.VMEM)
+
+    y = pl.pallas_call(
+        functools.partial(_kernel_v3, offs=tuple(offsets), S=S, K=K, H=H,
+                          n_views=V),
+        grid=(n_lane_tiles, n_periods),
+        in_specs=[
+            pl.BlockSpec((P, R, K), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, lb), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ] + [view_spec(v) for v in range(V)],
+        out_specs=pl.BlockSpec((P, R, lb), lambda i, j: (j, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, R, B_pad), jnp.int16),
+        scratch_shapes=[pltpu.VMEM((K, lb), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_blocks * R * K * B_pad,
+            bytes_accessed=(H + n_periods * S) * B_pad * 2
+            + n_blocks * R * B_pad * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(wT, hist, *([x] * V))
 
     y = y.reshape(n_blocks * R, B_pad)
     return y[:, :B] if B_pad != B else y

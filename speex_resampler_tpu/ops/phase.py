@@ -118,8 +118,9 @@ class PhaseTiledWeights:
 
 
 def build_phase_tiled_weights(phase_table: np.ndarray, num: int, den: int,
-                              f0: int, R: int = 128) -> PhaseTiledWeights:
-    """Build the v2 kernel's cyclic weight set.
+                              f0: int, R: int = 128,
+                              origin_shift: int = 0) -> PhaseTiledWeights:
+    """Build the v2/v3 kernels' cyclic weight set.
 
     Let t(j) = f0 + j*num.  Output j's window starts at row t(j)//den with
     taps H[t(j) % den].  For block k (outputs k*R .. k*R+R-1):
@@ -129,6 +130,12 @@ def build_phase_tiled_weights(phase_table: np.ndarray, num: int, den: int,
     align-multiple, P = P0 * (align / gcd(S0, align)) and S = P*R*num/den,
     and each block-phase's base is rounded down to a multiple of align with
     the remainder folded into leading zero rows of its weight matrix.
+
+    ``origin_shift`` prepends that many virtual rows before the original
+    sample axis (window starts shift by +origin_shift): the concat-free v3
+    kernel uses it to pad the history prefix to an aligned height
+    (filt_len-1 rounded up to 16) so the history/chunk boundary lands on a
+    16-multiple.
     """
     align = 16  # int16 sublane tile height on TPU
     filt_len = phase_table.shape[1]
@@ -144,10 +151,10 @@ def build_phase_tiled_weights(phase_table: np.ndarray, num: int, den: int,
     spans = np.empty(P, dtype=np.int64)
     for k in range(P):
         t0 = f0 + k * R * num
-        base = t0 // den
+        base = t0 // den + origin_shift
         aligned = (base // align) * align
         offsets[k] = aligned
-        spans[k] = (t0 + (R - 1) * num) // den - aligned
+        spans[k] = (t0 + (R - 1) * num) // den + origin_shift - aligned
     K = int(spans.max()) + filt_len
     K = -(-K // 8) * 8
 
@@ -156,7 +163,7 @@ def build_phase_tiled_weights(phase_table: np.ndarray, num: int, den: int,
     for k in range(P):
         t = f0 + (k * R + np.arange(R, dtype=np.int64)) * num
         p = (t % den).astype(np.int64)
-        o = (t // den) - offsets[k]          # includes the sub-8 shift
+        o = (t // den) + origin_shift - offsets[k]  # incl. sub-align shift
         w[k][o[None, :] + rows[:, None], np.arange(R)[None, :]] = \
             phase_table[p].T
     return PhaseTiledWeights(w=w, offsets=offsets, S=int(S), R=R)

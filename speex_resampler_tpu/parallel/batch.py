@@ -95,9 +95,34 @@ class BatchSpec:
         return self.n_blocks * self.group * self.den
 
 
+def _hist_rows_tiled(filt_len: int) -> int:
+    """History rows for the concat-free kernel: filt_len-1 rounded up to the
+    int16 sublane tile so the hist/chunk boundary is 16-aligned."""
+    return -(-(filt_len - 1) // 16) * 16
+
+
 def _tiled_weights(spec: fd.FilterSpec):
-    return ph.build_phase_tiled_weights(spec.phase_table, spec.num,
-                                        spec.den, 0)
+    H = _hist_rows_tiled(spec.filt_len)
+    return ph.build_phase_tiled_weights(
+        spec.phase_table, spec.num, spec.den, 0,
+        origin_shift=H - (spec.filt_len - 1))
+
+
+@dataclasses.dataclass(frozen=True)
+class BatchedStep:
+    """Compiled steady-state step + its launch buffer contract.
+
+    fn(hist i16[hist_rows, B], x i16[chunk_rows, B], w)
+        -> (hist' i16[hist_rows, B], y i16[out_per_launch, B])
+    x rows [0, in_per_launch) are the chunk; rows
+    [in_per_launch, in_per_launch + zero_tail) must be zero; any further
+    rows are don't-care padding (read but multiplied by zero weights).
+    """
+    fn: object
+    w: object
+    hist_rows: int
+    chunk_rows: int
+    zero_tail: int
 
 
 def _launch_geometry(spec: fd.FilterSpec, target_in_frames: int,
@@ -120,15 +145,13 @@ def _launch_geometry(spec: fd.FilterSpec, target_in_frames: int,
 
 def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
                       use_pallas: bool | None = None,
-                      pallas_interpret: bool = False):
-    """Build the jitted steady-state step function and its weight matrix.
+                      pallas_interpret: bool = False) -> BatchedStep:
+    """Build the jitted steady-state step function.
 
     Time-major layout (lanes on the 128-wide minor axis — see
-    ops/pallas_fir.py):
-        step(hist i16[N-1, B], x i16[n_in, B], W) -> (hist', y i16[n_out, B])
-    ``B`` is free (any batch size re-traces once per size).  The weight
-    matrix rides as an operand so shardings propagate (it is replicated
-    under a mesh; history/x/y shard on their lane axis).
+    ops/pallas_fir.py).  ``B`` is free (any batch size re-traces once per
+    size).  The weight matrix rides as an operand so shardings propagate
+    (it is replicated under a mesh; history/x/y shard on their lane axis).
     """
     N = spec.filt_len
     n_in = bspec.in_per_launch
@@ -141,24 +164,25 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
         from ..ops import pallas_fir
         ptw = _tiled_weights(spec)
         assert (ptw.S, ptw.P, ptw.R) == (bspec.S, bspec.P, bspec.R)
+        H = _hist_rows_tiled(N)
         n_periods = bspec.n_blocks // ptw.P
-        T_req = (n_periods - 1) * ptw.S + int(ptw.offsets[-1]) + ptw.K
-        pad = max(0, T_req - (N - 1 + n_in))
+        back = pallas_fir._v3_back(ptw.S, H)
+        V = pallas_fir._v3_views(ptw.S, ptw.K, H, ptw.offsets)
+        chunk_rows = (n_periods - back + V) * ptw.S
         offsets = tuple(int(o) for o in ptw.offsets)
-        conv = functools.partial(pallas_fir.resample_conv_tm_pallas_v2,
+        conv = functools.partial(pallas_fir.resample_conv_tm_pallas_v3,
                                  offsets=offsets, S=ptw.S,
                                  n_blocks=bspec.n_blocks,
                                  interpret=pallas_interpret)
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
+        @jax.jit
         def step(hist, x, w):
-            X = jnp.concatenate(
-                [hist, x,
-                 jnp.zeros((pad, x.shape[1]), dtype=jnp.int16)], axis=0)
-            y = conv(X, w)[:n_out]
-            return jax.lax.dynamic_slice_in_dim(X, n_in, N - 1, axis=0), y
+            y = conv(hist, x, w)[:n_out]
+            hist2 = jax.lax.dynamic_slice_in_dim(x, n_in - H, H, axis=0)
+            return hist2, y
 
-        return step, jnp.asarray(ptw.w)
+        return BatchedStep(fn=step, w=jnp.asarray(ptw.w), hist_rows=H,
+                           chunk_rows=chunk_rows, zero_tail=ptw.K)
 
     stride = bspec.stride
     w_np = ph.build_padded_weights(spec.phase_table, spec.num, spec.den,
@@ -186,7 +210,8 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
         y = conv(X, w)[:n_out]
         return jax.lax.dynamic_slice_in_dim(X, n_in, N - 1, axis=0), y
 
-    return step, jnp.asarray(w_np)
+    return BatchedStep(fn=step, w=jnp.asarray(w_np), hist_rows=N - 1,
+                       chunk_rows=n_in, zero_tail=0)
 
 
 class BatchedResampler:
@@ -232,12 +257,12 @@ class BatchedResampler:
                                       use_pallas=use_pallas)
         self.B = n_streams * channels
 
-        self._step, w = make_batched_step(self.spec, self.bspec,
-                                          use_pallas=use_pallas,
-                                          pallas_interpret=pallas_interpret)
-        N = self.spec.filt_len
+        self._step = make_batched_step(self.spec, self.bspec,
+                                       use_pallas=use_pallas,
+                                       pallas_interpret=pallas_interpret)
+        w = self._step.w
         # time-major: lanes ride the minor (128-wide) axis on device
-        hist = jnp.zeros((N - 1, self.B), dtype=jnp.int16)
+        hist = jnp.zeros((self._step.hist_rows, self.B), dtype=jnp.int16)
         if mesh is not None:
             P = jax.sharding.PartitionSpec
             lane_sh = jax.sharding.NamedSharding(mesh, P(None, axis))
@@ -252,6 +277,9 @@ class BatchedResampler:
         self._skip = 0
         # staging buffer of not-yet-launched input frames, [*, B] host int16
         self._staged = np.zeros((0, self.B), dtype=np.int16)
+        # persistent launch slab (zero tail prepared once)
+        self._slab = np.zeros((self._step.chunk_rows, self.B),
+                              dtype=np.int16)
 
     # -- geometry --------------------------------------------------------
 
@@ -366,10 +394,17 @@ class BatchedResampler:
         return self._lanes_to_frames(out)
 
     def _launch(self, chunk_np: np.ndarray):
-        x = jnp.asarray(chunk_np)
+        q = self.bspec.in_per_launch
+        if chunk_np.shape[0] == self._step.chunk_rows:
+            slab = chunk_np
+        else:
+            assert chunk_np.shape[0] == q, chunk_np.shape
+            self._slab[:q] = chunk_np
+            slab = self._slab
+        x = jnp.asarray(slab)
         if self._lane_sharding is not None:
             x = jax.device_put(x, self._lane_sharding)
-        hist, y = self._step(self._hist, x, self._w)
+        hist, y = self._step.fn(self._hist, x, self._w)
         # np.asarray on a not-yet-ready donated-jit output can deadlock on
         # some backends; readiness must be explicit before host conversion
         return hist, y.block_until_ready()

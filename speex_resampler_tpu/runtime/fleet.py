@@ -51,13 +51,17 @@ class FleetResampler:
             use_pallas = jax.default_backend() == "tpu"
         self.bspec = _launch_geometry(self.spec, target_chunk_frames,
                                       use_pallas=use_pallas)
-        self._step, self._w = make_batched_step(
+        self._step = make_batched_step(
             self.spec, self.bspec, use_pallas=use_pallas,
             pallas_interpret=pallas_interpret)
-        self._hist = jnp.zeros((self.spec.filt_len - 1, self.B),
+        self._w = self._step.w
+        self._hist = jnp.zeros((self._step.hist_rows, self.B),
                                dtype=jnp.int16)
         self._stager = make_stager(n_streams, channels,
                                    self.bspec.in_per_launch)
+        # persistent launch slab (zero tail prepared once)
+        self._slab = np.zeros((self._step.chunk_rows, self.B),
+                              dtype=np.int16)
         self._out: list[list[np.ndarray]] = [[] for _ in range(n_streams)]
         self.stats = LaunchStats()
 
@@ -101,11 +105,13 @@ class FleetResampler:
                       for f in staged]
         self._bank(y, per_stream)
 
-    def _run(self, slab: np.ndarray) -> np.ndarray:
-        with self.stats.launch(slab.size,
+    def _run(self, chunk: np.ndarray) -> np.ndarray:
+        with self.stats.launch(chunk.size,
                                self.bspec.out_per_launch * self.B):
-            x = jnp.asarray(slab)
-            self._hist, y = self._step(self._hist, x, self._w)
+            q = self.bspec.in_per_launch
+            self._slab[:q] = chunk
+            x = jnp.asarray(self._slab)
+            self._hist, y = self._step.fn(self._hist, x, self._w)
             return to_host(y)
 
     def _bank(self, y: np.ndarray, per_stream) -> None:

@@ -161,11 +161,11 @@ def test_batched_engine_pallas_interpret():
 
     # dense v1 pallas: same geometry as the XLA reference engine
     spec = ref_eng.spec
-    step, w = make_batched_step(spec, ref_eng.bspec, use_pallas=True,
-                                pallas_interpret=True)
-    hist = jnp.zeros((spec.filt_len - 1, S * C), dtype=jnp.int16)
+    bstep = make_batched_step(spec, ref_eng.bspec, use_pallas=True,
+                              pallas_interpret=True)
+    hist = jnp.zeros((bstep.hist_rows, S * C), dtype=jnp.int16)
     x = to_host(frames[:, :ref_eng.bspec.in_per_launch, 0].T)
-    _, y1 = step(hist, jnp.asarray(x), w)
+    _, y1 = bstep.fn(hist, jnp.asarray(x), bstep.w)
     ref1_eng = BatchedResampler(S, C, 44100, 48000, 7, use_pallas=False)
     ref1 = ref1_eng.process(frames[:, :ref_eng.bspec.in_per_launch])
     assert_lsb_close(to_host(y1).T.reshape(S, -1, C).ravel(), ref1.ravel())
