@@ -6,19 +6,20 @@ Here, S concurrent streams × C channels become one batch axis of B = S*C
 independent lanes resampled in a single device launch (BASELINE.json:
 "1024 concurrent stereo streams resampled in one Pallas launch").
 
-Steady-state design: every launch consumes exactly ``n_blocks * group * num``
-input frames per lane.  Because ``den`` outputs always consume exactly
-``num`` inputs, the fractional phase ``samp_frac_num`` and the relative
-window origin return to their initial values after every launch — so the
-compiled step function has fully static shapes and constant weights, and one
-XLA/Pallas program serves the engine forever:
+Steady-state design: every launch consumes a fixed quantum of input frames
+per lane that is a multiple of ``num``.  Because ``den`` outputs always
+consume exactly ``num`` inputs, the fractional phase ``samp_frac_num`` and
+the relative window origin return to their initial values after every
+launch — so the compiled step function has fully static shapes and constant
+weights, and one XLA/Pallas program serves the engine forever (time-major):
 
-    step: (history i16[B, N-1], x i16[B, n_in]) -> (history', y i16[B, n_out])
+    step: (hist i16[H, B], x i16[chunk_rows, B]) -> (hist', y i16[n_out, B])
 
-with n_out = n_blocks * group * den.  History is donated and stays on
-device; the only host↔device traffic is the s16 chunk in and the s16 result
-out (4 bytes/sample total — the same two copies the reference makes across
-the wasm heap, src/index.ts:92,111-115).
+(see BatchedStep for the buffer contract).  The only host↔device traffic is
+the s16 chunk in and the s16 result out (4 bytes/sample total — the same
+two copies the reference makes across the wasm heap,
+src/index.ts:92,111-115); the concat-free v3 kernel reads history and chunk
+as separate refs, so no extra on-device copy of the chunk exists either.
 
 An internal staging buffer accumulates arbitrary caller chunk sizes up to
 the launch quantum.  Output samples are identical to per-chunk processing
@@ -49,7 +50,7 @@ from ..utils.host import to_host
 __all__ = ["BatchedResampler", "make_batched_step", "BatchSpec"]
 
 
-# Phase-tiled (v2) weights live whole in VMEM (ops/pallas_fir._kernel_v2);
+# Phase-tiled weights live whole in VMEM (ops/pallas_fir._kernel_v3);
 # above this size fall back to the dense kernel.
 _MAX_TILED_WEIGHT_BYTES = 4 * 1024 * 1024
 
@@ -60,9 +61,10 @@ class BatchSpec:
 
     kernel == "dense": v1 geometry — super-blocks of R = group*den outputs,
     one dense GEMM each (ops/fir_matmul.py layout).
-    kernel == "tiled": v2 geometry — blocks of R = 128 outputs with cyclic
-    phase weights (ops/pallas_fir.resample_conv_tm_pallas_v2); n_blocks is
-    a multiple of P and n_blocks/P "periods" consume S inputs each.
+    kernel == "tiled": v2/v3 geometry — blocks of R = 128 outputs with
+    cyclic phase weights (ops/pallas_fir.resample_conv_tm_pallas_v3);
+    n_blocks is a multiple of P and n_blocks/P "periods" consume S inputs
+    each.
     """
     num: int
     den: int
