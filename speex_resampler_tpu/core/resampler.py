@@ -93,6 +93,10 @@ class ResamplerCore:
 
         self.in_stride = 1   # resample.c:1170-1178
         self.out_stride = 1  # resample.c:1180-1188
+        # resample.c:561-591/:785-791 parity: after a device/allocation
+        # failure the resampler degrades to emitting zeros while advancing
+        # state identically, so callers ignoring errors cannot deadlock.
+        self.degraded = False
         self.set_quality(quality)
         self.set_rate_frac(ratio_num, ratio_den, in_rate, out_rate)
         self._update_filter()
@@ -449,11 +453,19 @@ class ResamplerCore:
         hist = np.stack([self._history[c] for c in chans])
         X = np.concatenate([hist, new.astype(np.float32)], axis=1)
 
-        if n_out > 0:
-            y = self._run_fir(X, ls0, f0, n_out, out_float)
+        odt = np.float32 if out_float else np.int16
+        if n_out <= 0:
+            y = np.zeros((len(chans), 0), dtype=odt)
+        elif self.degraded:
+            y = np.zeros((len(chans), n_out), dtype=odt)
         else:
-            y = np.zeros((len(chans), 0),
-                         dtype=np.float32 if out_float else np.int16)
+            try:
+                y = self._run_fir(X, ls0, f0, n_out, out_float)
+            except (MemoryError, RuntimeError):
+                # resampler_basic_zero swap (resample.c:561-591): emit zeros
+                # with the exact sample accounting from here on
+                self.degraded = True
+                y = np.zeros((len(chans), n_out), dtype=odt)
 
         # state update (resample.c:891-899)
         for i, c in enumerate(chans):

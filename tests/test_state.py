@@ -105,3 +105,34 @@ def test_set_rate_noop_keeps_state(fixture_pcm):
     a2 = r2.process_chunk(pcm[:half])
     b2 = r2.process_chunk(pcm[half:])
     assert a1 == a2 and b1 == b2
+
+
+def test_zero_fill_degradation(monkeypatch):
+    """resample.c:561-591/:785-791: after a device failure the core keeps
+    consuming/producing the exact sample counts but emits zeros."""
+    import numpy as np
+    from speex_resampler_tpu.core.resampler import ResamplerCore
+    from speex_resampler_tpu.ops import fir_matmul as fm
+
+    x = (np.arange(4000, dtype=np.int64) % 251 - 125).astype(
+        np.int16).reshape(-1, 1)
+    ok = ResamplerCore(1, 44100, 48000, 44100, 48000, 7)
+    expected = ok.process_interleaved(x, 10**9)
+
+    bad = ResamplerCore(1, 44100, 48000, 44100, 48000, 7)
+
+    def boom(*a, **k):
+        raise RuntimeError("RESOURCE_EXHAUSTED: simulated OOM")
+
+    monkeypatch.setattr(fm, "resample_conv", boom)
+    monkeypatch.setattr(fm, "resample_gather", boom)
+    got = bad.process_interleaved(x[:2000], 10**9)
+    assert bad.degraded
+    assert got.shape[0] == ResamplerCore(
+        1, 44100, 48000, 44100, 48000, 7).process_interleaved(
+        x[:2000], 10**9).shape[0]
+    assert not got.any()
+    # still degraded on the next chunk, same counts as the healthy run
+    got2 = bad.process_interleaved(x[2000:], 10**9)
+    assert not got2.any()
+    assert got.shape[0] + got2.shape[0] == expected.shape[0]
