@@ -358,10 +358,13 @@ def resample_conv_tm_pallas_v3(hist, x, w, offsets: tuple, *, S: int,
         x = jnp.pad(x, ((0, 0), (0, B_pad - B)))
     if lane_tile is None:
         # views (V, double-buffered) + resident w + out (double) + hist +
-        # f32 scratch within ~14 MB
+        # f32 scratch within ~14 MB gives the VMEM ceiling; measured on
+        # v5e, one lane tile of 128 beats larger tiles anyway (more grid
+        # steps pipeline the view DMAs better: 0.48 vs 0.56 ms/launch), so
+        # default to the minimum
         denom = 4 * V * S + 4 * P * R + 4 * H + 4 * K
         lb = (14 * 1024 * 1024 - w_bytes) // denom
-        lb = max(_LANE, (lb // _LANE) * _LANE)
+        lb = max(_LANE, min((lb // _LANE) * _LANE, _LANE))
     else:
         lb = lane_tile
     lb = min(lb, B_pad)
