@@ -147,19 +147,37 @@ def _launch_geometry(spec: fd.FilterSpec, target_in_frames: int,
 
 def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
                       use_pallas: bool | None = None,
-                      pallas_interpret: bool = False) -> BatchedStep:
+                      pallas_interpret: bool = False,
+                      mesh: jax.sharding.Mesh | None = None,
+                      axis: str = "streams") -> BatchedStep:
     """Build the jitted steady-state step function.
 
     Time-major layout (lanes on the 128-wide minor axis — see
     ops/pallas_fir.py).  ``B`` is free (any batch size re-traces once per
     size).  The weight matrix rides as an operand so shardings propagate
     (it is replicated under a mesh; history/x/y shard on their lane axis).
+
+    With ``mesh``, the step is wrapped in ``shard_map`` over the lane axis:
+    streams are share-nothing, so each device runs the kernel on its lane
+    shard with zero collectives — this is how the Pallas kernel (an opaque
+    custom call the SPMD partitioner cannot split) scales across chips.
     """
     N = spec.filt_len
     n_in = bspec.in_per_launch
     n_out = bspec.out_per_launch
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+
+    def _wrap(step_impl):
+        if mesh is None:
+            return jax.jit(step_impl)
+        from jax.experimental.shard_map import shard_map
+        P = jax.sharding.PartitionSpec
+        return jax.jit(shard_map(
+            step_impl, mesh=mesh,
+            in_specs=(P(None, axis), P(None, axis), P()),
+            out_specs=(P(None, axis), P(None, axis)),
+            check_rep=False))
 
     if bspec.kernel == "tiled":
         assert use_pallas, "tiled geometry requires the Pallas kernel"
@@ -177,14 +195,14 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
                                  n_blocks=bspec.n_blocks,
                                  interpret=pallas_interpret)
 
-        @jax.jit
         def step(hist, x, w):
             y = conv(hist, x, w)[:n_out]
             hist2 = jax.lax.dynamic_slice_in_dim(x, n_in - H, H, axis=0)
             return hist2, y
 
-        return BatchedStep(fn=step, w=jnp.asarray(ptw.w), hist_rows=H,
-                           chunk_rows=chunk_rows, zero_tail=ptw.K)
+        return BatchedStep(fn=_wrap(step), w=jnp.asarray(ptw.w),
+                           hist_rows=H, chunk_rows=chunk_rows,
+                           zero_tail=ptw.K)
 
     stride = bspec.stride
     w_np = ph.build_padded_weights(spec.phase_table, spec.num, spec.den,
@@ -205,15 +223,14 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
     else:
         conv = functools.partial(fm.resample_conv_tm, stride=stride)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def step(hist, x, w):
         X = jnp.concatenate(
             [hist, x, jnp.zeros((pad, x.shape[1]), dtype=jnp.int16)], axis=0)
         y = conv(X, w)[:n_out]
         return jax.lax.dynamic_slice_in_dim(X, n_in, N - 1, axis=0), y
 
-    return BatchedStep(fn=step, w=jnp.asarray(w_np), hist_rows=N - 1,
-                       chunk_rows=n_in, zero_tail=0)
+    return BatchedStep(fn=_wrap(step), w=jnp.asarray(w_np),
+                       hist_rows=N - 1, chunk_rows=n_in, zero_tail=0)
 
 
 class BatchedResampler:
@@ -261,7 +278,8 @@ class BatchedResampler:
 
         self._step = make_batched_step(self.spec, self.bspec,
                                        use_pallas=use_pallas,
-                                       pallas_interpret=pallas_interpret)
+                                       pallas_interpret=pallas_interpret,
+                                       mesh=mesh, axis=axis)
         w = self._step.w
         # time-major: lanes ride the minor (128-wide) axis on device
         hist = jnp.zeros((self._step.hist_rows, self.B), dtype=jnp.int16)

@@ -187,3 +187,24 @@ def test_batched_mesh_sharded_matches_unsharded():
                                mesh=mesh)
     b = np.concatenate([sharded.process(frames), sharded.flush()], axis=1)
     assert np.array_equal(a, b)
+
+
+def test_batched_mesh_sharded_pallas_interpret():
+    """The Pallas kernel under shard_map on an 8-device CPU mesh must match
+    the unsharded run (this is the real multi-chip code path: pallas_call
+    is an opaque custom call the SPMD partitioner cannot split)."""
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = jax.sharding.Mesh(np.array(devs[:8]), ("streams",))
+    S, C = 8, 2
+    frames = _random_frames(S, 6000, C, seed=11)
+
+    plain = BatchedResampler(S, C, 44100, 48000, 7, use_pallas=True,
+                             pallas_interpret=True)
+    a = np.concatenate([plain.process(frames), plain.flush()], axis=1)
+
+    sharded = BatchedResampler(S, C, 44100, 48000, 7, use_pallas=True,
+                               pallas_interpret=True, mesh=mesh)
+    b = np.concatenate([sharded.process(frames), sharded.flush()], axis=1)
+    assert np.array_equal(a, b)
