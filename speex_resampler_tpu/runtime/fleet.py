@@ -59,9 +59,14 @@ class FleetResampler:
                                dtype=jnp.int16)
         self._stager = make_stager(n_streams, channels,
                                    self.bspec.in_per_launch)
-        # persistent launch slab (zero tail prepared once)
-        self._slab = np.zeros((self._step.chunk_rows, self.B),
-                              dtype=np.int16)
+        # persistent launch slabs, double-buffered: with the depth-1
+        # dispatch pipeline, slab i may still be transferring to the device
+        # while slab i+1 is being filled; alternating two buffers makes the
+        # overwrite safe (slab i's transfer completes before launch i's
+        # result — which we pull before refilling slab i — is ready)
+        self._slabs = [np.zeros((self._step.chunk_rows, self.B),
+                                dtype=np.int16) for _ in range(2)]
+        self._slab_i = 0
         self._out: list[list[np.ndarray]] = [[] for _ in range(n_streams)]
         self.stats = LaunchStats()
 
@@ -82,14 +87,25 @@ class FleetResampler:
     # -- execution --------------------------------------------------------
 
     def poll(self, max_launches: int | None = None) -> int:
-        """Run up to ``max_launches`` ready device launches; returns count."""
+        """Run up to ``max_launches`` ready device launches; returns count.
+
+        Launch i+1 is dispatched before launch i's result is pulled back,
+        so device compute overlaps host readback/unpack (device dispatch is
+        async; only the final to_host blocks)."""
         n = self._stager.ready_launches()
         if max_launches is not None:
             n = min(n, max_launches)
+        pending = None
         for _ in range(n):
-            slab = self._stager.fill_launch()
-            y = self._run(slab)
-            self._bank(y, None)
+            slab = self._slabs[self._slab_i]
+            self._slab_i ^= 1
+            self._stager.fill_launch(out=slab)
+            y = self._dispatch(slab)
+            if pending is not None:
+                self._bank(to_host(pending), None)
+            pending = y
+        if pending is not None:
+            self._bank(to_host(pending), None)
         return n
 
     def flush(self) -> None:
@@ -99,20 +115,27 @@ class FleetResampler:
         slab, staged = self._stager.fill_flush()
         if slab is None:
             return
-        y = self._run(slab)
+        y = to_host(self._dispatch_chunk(slab))
         per_stream = [ph.producible_outputs(int(f), 0, self.bspec.f0,
                                             self.spec.num, self.spec.den)
                       for f in staged]
         self._bank(y, per_stream)
 
-    def _run(self, chunk: np.ndarray) -> np.ndarray:
-        with self.stats.launch(chunk.size,
+    def _dispatch(self, slab: np.ndarray):
+        """Async-dispatch one launch on a fully prepared slab."""
+        with self.stats.launch(self.bspec.in_per_launch * self.B,
                                self.bspec.out_per_launch * self.B):
-            q = self.bspec.in_per_launch
-            self._slab[:q] = chunk
-            x = jnp.asarray(self._slab)
+            x = jnp.asarray(slab)
             self._hist, y = self._step.fn(self._hist, x, self._w)
-            return to_host(y)
+            return y
+
+    def _dispatch_chunk(self, chunk: np.ndarray):
+        """Dispatch from a bare [n_in, B] chunk (e.g. the flush slab)."""
+        q = self.bspec.in_per_launch
+        slab = self._slabs[self._slab_i]
+        self._slab_i ^= 1
+        slab[:q] = chunk
+        return self._dispatch(slab)
 
     def _bank(self, y: np.ndarray, per_stream) -> None:
         outs = self._stager.unpack_all(y)  # [S, n_out, C]

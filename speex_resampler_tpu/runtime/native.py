@@ -128,8 +128,15 @@ class NativeStager:
     def ready_launches(self) -> int:
         return int(self._lib.srt_ready_launches(self._h))
 
-    def fill_launch(self) -> np.ndarray:
-        slab = np.empty((self.n_in, self.B), dtype=np.int16)
+    def fill_launch(self, out: np.ndarray | None = None) -> np.ndarray:
+        """Gather one launch quantum; writes into ``out[:n_in]`` when given
+        (must be C-contiguous int16 with at least n_in rows of width B)."""
+        if out is None:
+            slab = np.empty((self.n_in, self.B), dtype=np.int16)
+        else:
+            assert out.dtype == np.int16 and out.flags["C_CONTIGUOUS"]
+            assert out.shape[0] >= self.n_in and out.shape[1] == self.B
+            slab = out
         rc = self._lib.srt_fill_launch(self._h, _ptr(slab))
         if rc != 0:
             raise ValueError("not enough staged frames for a launch")
@@ -221,10 +228,13 @@ class PyStager:
             return 0
         return int(min(act)) // self.n_in
 
-    def fill_launch(self) -> np.ndarray:
+    def fill_launch(self, out: np.ndarray | None = None) -> np.ndarray:
         if self.ready_launches() < 1:
             raise ValueError("not enough staged frames for a launch")
-        slab = np.zeros((self.n_in, self.B), dtype=np.int16)
+        slab = out if out is not None else np.zeros(
+            (self.n_in, self.B), dtype=np.int16)
+        if out is not None:
+            slab[:self.n_in] = 0
         for s in range(self.n_streams):
             if not self._active[s]:
                 continue

@@ -129,3 +129,80 @@ def test_multifleet_remove_stream_drops_staged():
     # slot is free again
     mf.add_stream("u", 24000, 48000, 5)
     assert banked_before > 0
+
+
+def test_multifleet_fuzz_churn():
+    """Randomized attach/push/poll/end/pull churn: every pulled sample must
+    match a per-stream reference core fed the same data."""
+    rng = np.random.default_rng(42)
+    mf = MultiFleet(channels=1, capacity_per_bucket=3,
+                    target_chunk_frames=300, use_pallas=False)
+    configs = [(24000, 48000, 5), (44100, 48000, 7), (48000, 24000, 4)]
+
+    live = {}      # sid -> [cfg, pushed_chunks]
+    collected = {}  # sid -> [pulled arrays]
+    done = {}      # sid -> (cfg, all_pushed)
+    next_id = 0
+
+    for step in range(300):
+        op = rng.choice(["add", "push", "poll", "end", "pull"],
+                        p=[0.1, 0.45, 0.2, 0.1, 0.15])
+        if op == "add" and len(live) < 6:
+            cfg = configs[int(rng.integers(len(configs)))]
+            sid = f"s{next_id}"
+            next_id += 1
+            try:
+                mf.add_stream(sid, *cfg)
+            except Exception:
+                continue
+            live[sid] = [cfg, []]
+            collected[sid] = []
+        elif op == "push" and live:
+            sid = list(live)[int(rng.integers(len(live)))]
+            n = int(rng.integers(10, 600))
+            data = (rng.integers(-32768, 32768, size=(n, 1)) // 2
+                    ).astype(np.int16)
+            mf.push(sid, data)
+            live[sid][1].append(data)
+        elif op == "poll":
+            mf.poll()
+        elif op == "end" and live:
+            sid = list(live)[int(rng.integers(len(live)))]
+            cfg, chunks = live.pop(sid)
+            mf.end_stream(sid)
+            done[sid] = (cfg, chunks)
+        elif op == "pull":
+            pool = list(live) + [s for s in done if s in mf._streams]
+            if not pool:
+                continue
+            sid = pool[int(rng.integers(len(pool)))]
+            out = mf.pull(sid)
+            if out.shape[0]:
+                collected[sid].append(out)
+
+    # finish everything
+    for sid in list(live):
+        cfg, chunks = live.pop(sid)
+        mf.end_stream(sid)
+        done[sid] = (cfg, chunks)
+    for sid in list(done):
+        if sid in mf._streams:
+            out = mf.pull(sid)
+            if out.shape[0]:
+                collected[sid].append(out)
+
+    checked = 0
+    for sid, (cfg, chunks) in done.items():
+        got = (np.concatenate(collected[sid])
+               if collected.get(sid) else np.zeros((0, 1), np.int16))
+        if not chunks:
+            assert got.shape[0] == 0
+            continue
+        data = np.concatenate(chunks)
+        ir, orr, q = cfg
+        core = ResamplerCore(1, ir, orr, ir, orr, q)
+        ref = core.process_interleaved(data, 10**9)
+        assert got.shape == ref.shape, (sid, got.shape, ref.shape)
+        assert_lsb_close(got.ravel(), ref.ravel())
+        checked += 1
+    assert checked >= 5  # the fuzz actually exercised streams
