@@ -146,6 +146,33 @@ class FleetResampler:
             if o.shape[0]:
                 self._out[s].append(o)
 
+    # -- slot management (used by MultiFleet for dynamic occupancy) --------
+
+    def set_slot_active(self, slot: int, active: bool) -> None:
+        """Inactive slots are excluded from lockstep readiness and
+        zero-filled in launch slabs."""
+        self._stager.set_active(slot, active)
+
+    def clear_slot(self, slot: int) -> None:
+        """Reset one lane for reuse: zero filter history, drop banked
+        output (staging is cleared by deactivation)."""
+        c = self.channels
+        lane = slot * c
+        self._hist = self._hist.at[:, lane:lane + c].set(jnp.int16(0))
+        self._out[slot] = []
+
+    def lane_history(self, slot: int) -> np.ndarray:
+        """One lane's filter history, [hist_rows, C] — valid for hand-off
+        to ResamplerCore.import_history at launch-quantum boundaries (the
+        trailing filt_len-1 rows are the actual filter memory)."""
+        c = self.channels
+        h = to_host(self._hist)[:, slot * c:(slot + 1) * c]
+        N = self.spec.filt_len
+        return h[h.shape[0] - (N - 1):]
+
+    def peek_staged(self, slot: int) -> np.ndarray:
+        return self._stager.peek(slot)
+
     # -- checkpoint/resume (SURVEY.md §5) -----------------------------------
 
     def state_dict(self) -> dict:

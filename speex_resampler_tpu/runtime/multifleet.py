@@ -34,7 +34,6 @@ import numpy as np
 
 from ..core.resampler import ResamplerCore
 from ..utils.errors import ResamplerError, ResamplerErrorCode
-from ..utils.host import to_host
 from .fleet import FleetResampler
 
 __all__ = ["MultiFleet"]
@@ -56,7 +55,7 @@ class _Bucket:
         self.fleet = fleet
         self.free = list(range(fleet.n_streams - 1, -1, -1))
         for slot in range(fleet.n_streams):
-            self.fleet._stager.set_active(slot, False)
+            self.fleet.set_slot_active(slot, False)
 
     @property
     def occupied(self) -> int:
@@ -93,9 +92,8 @@ class MultiFleet:
         if not b.free:
             raise ResamplerError(ResamplerErrorCode.ALLOC_FAILED)
         slot = b.free.pop()
-        b.fleet._stager.set_active(slot, True)
-        self._zero_lane(b.fleet, slot)
-        b.fleet._out[slot] = []
+        b.fleet.set_slot_active(slot, True)
+        b.fleet.clear_slot(slot)
         self._streams[sid] = _Stream(key=key, slot=slot)
         return sid
 
@@ -115,11 +113,11 @@ class MultiFleet:
         b = self._buckets[st.key]
         fleet = b.fleet
         C = self.channels
-        tail_in = fleet._stager.peek(st.slot)
+        tail_in = fleet.peek_staged(st.slot)
         banked = fleet.pull(st.slot)
         parts = [banked] if len(banked) else []
         if len(tail_in):
-            hist = to_host(fleet._hist)[:, st.slot * C:(st.slot + 1) * C]
+            hist = fleet.lane_history(st.slot)
             ir, orr, q = st.key
             core = ResamplerCore(C, ir, orr, ir, orr, q)
             core.import_history(hist)
@@ -233,7 +231,7 @@ class MultiFleet:
     def _drop_slot(self, st: _Stream):
         """Free the bucket slot (caller has already salvaged its output)."""
         b = self._buckets[st.key]
-        b.fleet._stager.set_active(st.slot, False)
+        b.fleet.set_slot_active(st.slot, False)
         b.fleet._out[st.slot] = []
         b.free.append(st.slot)
         st.slot = None
@@ -245,10 +243,3 @@ class MultiFleet:
         if st.carryover is None or not len(st.carryover):
             self._streams.pop(sid, None)
 
-    @staticmethod
-    def _zero_lane(fleet: FleetResampler, slot: int):
-        import jax.numpy as jnp
-        c = fleet.channels
-        lane = slot * c
-        fleet._hist = fleet._hist.at[:, lane:lane + c].set(
-            jnp.int16(0))

@@ -206,3 +206,22 @@ def test_multifleet_fuzz_churn():
         assert_lsb_close(got.ravel(), ref.ravel())
         checked += 1
     assert checked >= 5  # the fuzz actually exercised streams
+
+
+def test_multifleet_end_stream_tiled_history(monkeypatch):
+    """end_stream's core hand-off must use exactly filt_len-1 history rows
+    even under the tiled kernel geometry, whose device history is padded to
+    a 16-row multiple (regression: pallas-mode fleets crashed on drain)."""
+    rng = np.random.default_rng(7)
+    x = (rng.integers(-20000, 20000, size=(2500, 1))).astype(np.int16)
+    mf = MultiFleet(channels=1, capacity_per_bucket=2,
+                    target_chunk_frames=512, use_pallas=True,
+                    pallas_interpret=True)
+    mf.add_stream("s", 44100, 48000, 7)
+    mf.push("s", x)
+    mf.poll()
+    mf.end_stream("s")
+    got = mf.pull("s")
+    ref = _ref(x, 44100, 48000, 7)
+    assert got.shape == ref.shape
+    assert_lsb_close(got.ravel(), ref.ravel())
