@@ -58,7 +58,47 @@ struct Runtime {
   std::vector<uint8_t> active;            // slots excluded from lockstep
 };
 
-constexpr long kTimeTile = 64;  // rows per cache-blocked transpose tile
+constexpr long kTimeTile = 16;  // rows per cache-blocked transpose tile
+
+// Gather one [t0, t1) row range of the time-major slab from per-stream
+// sources.  Stream-inner loops make the slab writes sequential (one
+// contiguous row at a time) while each stream's source line stays hot in
+// L2 across the whole tile (S cache lines ~= 64 KB).  C==1/C==2 specialize
+// to single 16/32-bit stores — the generic per-frame memcpy of 2*C bytes
+// is ~50x slower at C==2.
+template <typename Fn>
+static void gather_rows(int n_streams, int C, long B, long t0, long t1,
+                        int16_t* out, Fn src_of) {
+  if (C == 2) {
+    for (long t = t0; t < t1; ++t) {
+      uint32_t* dst = reinterpret_cast<uint32_t*>(out + t * B);
+      for (int s = 0; s < n_streams; ++s) {
+        const int16_t* src = src_of(s);
+        if (src)
+          dst[s] = reinterpret_cast<const uint32_t*>(src)[t];
+      }
+    }
+  } else if (C == 1) {
+    for (long t = t0; t < t1; ++t) {
+      int16_t* dst = out + t * B;
+      for (int s = 0; s < n_streams; ++s) {
+        const int16_t* src = src_of(s);
+        if (src)
+          dst[s] = src[t];
+      }
+    }
+  } else {
+    for (long t = t0; t < t1; ++t) {
+      int16_t* dst = out + t * B;
+      for (int s = 0; s < n_streams; ++s) {
+        const int16_t* src = src_of(s);
+        if (src)
+          std::memcpy(dst + static_cast<long>(s) * C, src + t * C,
+                      static_cast<size_t>(C) * 2);
+      }
+    }
+  }
+}
 
 }  // namespace
 
@@ -173,16 +213,12 @@ int srt_fill_launch(void* h, int16_t* out) {
   }
   if (any_inactive)
     std::memset(out, 0, static_cast<size_t>(n_in) * B * 2);
-  for (long t0 = 0; t0 < n_in; t0 += kTimeTile) {
-    const long t1 = (t0 + kTimeTile < n_in) ? t0 + kTimeTile : n_in;
-    for (int s = 0; s < rt->n_streams; ++s) {
-      if (!rt->active[static_cast<size_t>(s)]) continue;
-      const int16_t* src = rt->fifo[static_cast<size_t>(s)].front() + t0 * C;
-      int16_t* dst = out + t0 * B + static_cast<long>(s) * C;
-      for (long t = t0; t < t1; ++t, src += C, dst += B)
-        std::memcpy(dst, src, static_cast<size_t>(C) * 2);
-    }
-  }
+  std::vector<const int16_t*> srcs(static_cast<size_t>(rt->n_streams));
+  for (int s = 0; s < rt->n_streams; ++s)
+    srcs[static_cast<size_t>(s)] = rt->active[static_cast<size_t>(s)]
+        ? rt->fifo[static_cast<size_t>(s)].front() : nullptr;
+  gather_rows(rt->n_streams, C, B, 0, n_in, out,
+              [&](int s) { return srcs[static_cast<size_t>(s)]; });
   for (int s = 0; s < rt->n_streams; ++s)
     if (rt->active[static_cast<size_t>(s)])
       rt->fifo[static_cast<size_t>(s)].consume(
@@ -253,17 +289,37 @@ void srt_unpack(void* h, const int16_t* y, long n_out, int stream,
 }
 
 // Scatter the whole slab y[n_out][B] to [S, n_out, C] (stream-major).
+// Time-tiled with per-stream inner runs: bounds the TLB working set to one
+// page per stream per tile while keeping word-sized stores.
 void srt_unpack_all(void* h, const int16_t* y, long n_out, int16_t* dst) {
   auto* rt = static_cast<Runtime*>(h);
   const int C = rt->channels;
   const long B = rt->B;
   for (long t0 = 0; t0 < n_out; t0 += kTimeTile) {
     const long t1 = (t0 + kTimeTile < n_out) ? t0 + kTimeTile : n_out;
-    for (int s = 0; s < rt->n_streams; ++s) {
-      const int16_t* src = y + t0 * B + static_cast<long>(s) * C;
-      int16_t* d = dst + (static_cast<long>(s) * n_out + t0) * C;
-      for (long t = t0; t < t1; ++t, src += B, d += C)
-        std::memcpy(d, src, static_cast<size_t>(C) * 2);
+    if (C == 2) {
+      for (int s = 0; s < rt->n_streams; ++s) {
+        const uint32_t* src =
+            reinterpret_cast<const uint32_t*>(y + t0 * B) + s;
+        uint32_t* d = reinterpret_cast<uint32_t*>(
+            dst + (static_cast<long>(s) * n_out + t0) * 2);
+        for (long t = t0; t < t1; ++t, src += B / 2)
+          *d++ = *src;
+      }
+    } else if (C == 1) {
+      for (int s = 0; s < rt->n_streams; ++s) {
+        const int16_t* src = y + t0 * B + s;
+        int16_t* d = dst + static_cast<long>(s) * n_out + t0;
+        for (long t = t0; t < t1; ++t, src += B)
+          *d++ = *src;
+      }
+    } else {
+      for (int s = 0; s < rt->n_streams; ++s) {
+        const int16_t* src = y + t0 * B + static_cast<long>(s) * C;
+        int16_t* d = dst + (static_cast<long>(s) * n_out + t0) * C;
+        for (long t = t0; t < t1; ++t, src += B, d += C)
+          std::memcpy(d, src, static_cast<size_t>(C) * 2);
+      }
     }
   }
 }
