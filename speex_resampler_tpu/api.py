@@ -200,3 +200,21 @@ class SpeexResamplerTransform:
         dropped (the Node stream simply ends with them unconsumed)."""
         self._alignment_buffer = _EMPTY
         return _EMPTY
+
+    async def atransform(self, chunk: bytes) -> bytes:
+        """Asyncio counterpart of :meth:`transform` — runs the resample off
+        the event loop (the Node Transform is push-async; this is the
+        asyncio-native equivalent)."""
+        import asyncio
+        return await asyncio.get_running_loop().run_in_executor(
+            None, self.transform, chunk)
+
+    async def aiter_transform(self, chunks):
+        """Transform an async iterable of byte chunks."""
+        async for chunk in chunks:
+            out = await self.atransform(chunk)
+            if out:
+                yield out
+        tail = self.flush()
+        if tail:
+            yield tail

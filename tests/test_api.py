@@ -106,3 +106,30 @@ def test_zero_fill_null_input_equiv():
     r2 = SpeexResampler(1, 24000, 48000, 5)
     z = b"\x00" * 2000
     assert r1.process_chunk(z) == r2.process_chunk(z)
+
+
+def test_transform_async(fixture_pcm):
+    """atransform/aiter_transform produce exactly the sync outputs."""
+    import asyncio
+    from speex_resampler_tpu import SpeexResamplerTransform
+
+    pcm = fixture_pcm["24000hz_mono_test.pcm"][:100_001]  # odd byte count
+    pieces = [pcm[i:i + 8191] for i in range(0, len(pcm), 8191)]
+
+    sync_t = SpeexResamplerTransform(1, 24000, 48000, 5)
+    want = b"".join(sync_t.transform(p) for p in pieces)
+
+    async def run():
+        t = SpeexResamplerTransform(1, 24000, 48000, 5)
+
+        async def gen():
+            for p in pieces:
+                yield p
+
+        outs = []
+        async for out in t.aiter_transform(gen()):
+            outs.append(out)
+        return b"".join(outs)
+
+    got = asyncio.run(run())
+    assert got == want
