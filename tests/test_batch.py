@@ -208,3 +208,24 @@ def test_batched_mesh_sharded_pallas_interpret():
                                pallas_interpret=True, mesh=mesh)
     b = np.concatenate([sharded.process(frames), sharded.flush()], axis=1)
     assert np.array_equal(a, b)
+
+
+@pytest.mark.parametrize("in_rate,out_rate,quality", [
+    (8000, 48000, 2),     # 1/6 integer upsample (small S, large back)
+    (48000, 8000, 4),     # 6/1 decimation (huge K)
+    (32000, 44100, 8),    # 320/441 large-P interpolated
+])
+def test_batched_pallas_interpret_extreme_ratios(in_rate, out_rate, quality):
+    """The tiled kernel's geometry machinery (look-back, views, origin
+    shift) across ratio extremes, interpret mode vs the dense engine."""
+    S, C = 2, 1
+    frames = _random_frames(S, 6000, C, seed=quality)
+    ref_eng = BatchedResampler(S, C, in_rate, out_rate, quality,
+                               target_chunk_frames=1024, use_pallas=False)
+    ref = np.concatenate([ref_eng.process(frames), ref_eng.flush()], axis=1)
+    eng = BatchedResampler(S, C, in_rate, out_rate, quality,
+                           target_chunk_frames=1024, use_pallas=True,
+                           pallas_interpret=True)
+    got = np.concatenate([eng.process(frames), eng.flush()], axis=1)
+    assert got.shape == ref.shape
+    assert_lsb_close(got.ravel(), ref.ravel())
