@@ -293,38 +293,54 @@ def _v3_parts(off: int, S: int, K: int, H: int, j_case):
 
 
 def _kernel_v3(w_ref, h_ref, *rest, offs: tuple, S: int, K: int, H: int,
-               n_views: int):
+               n_views: int, gp: int):
     view_refs = rest[:n_views]
     o_ref = rest[n_views]
     scratch = rest[n_views + 1]
-    j = pl.program_id(1)
+    j = pl.program_id(1)   # program = gp consecutive periods
     back = _v3_back(S, H)
+    P = len(offs)
 
-    def assemble(parts):
+    def assemble(parts, extra_views: int):
         for src, s0, dst, ln in parts:
-            ref = h_ref if src == "h" else view_refs[src]
+            ref = h_ref if src == "h" else view_refs[src + extra_views]
             scratch[pl.ds(dst, ln), :] = ref[pl.ds(s0, ln), :].astype(
                 jnp.float32)
 
-    for m, off_m in enumerate(offs):
-        gen = _v3_parts(off_m, S, K, H, "general")
-        cases = [(jc, _v3_parts(off_m, S, K, H, jc)) for jc in range(back)]
-        cases = [(jc, pl_) for jc, pl_ in cases if pl_ != gen]
-        if not cases:
-            assemble(gen)
-        else:
-            @pl.when(j >= back)
-            def _():
-                assemble(gen)
+    for g in range(gp):
+        # global period index = j*gp + g; view v holds chunk block
+        # j*gp - back + v, so period g's plans shift by g view slots
+        for m, off_m in enumerate(offs):
+            gen = _v3_parts(off_m, S, K, H, "general")
+            cases = [(jc, _v3_parts(off_m, S, K, H, jc))
+                     for jc in range(back)]
+            cases = [(jc, pl_) for jc, pl_ in cases if pl_ != gen]
+            if not cases or g >= back:
+                # period index j*gp+g >= back guaranteed when g >= back
+                assemble(gen, g)
+            else:
+                @pl.when(j * gp + g >= back)
+                def _(gen=gen, g=g):
+                    assemble(gen, g)
 
-            for jc, plan in cases:
-                @pl.when(j == jc)
-                def _(plan=plan):
-                    assemble(plan)
-        # Precision.HIGHEST is load-bearing; see _kernel.
-        o_ref[m] = _word2int(jnp.dot(
-            w_ref[m], scratch[...], precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32))
+                for jc, plan in cases:
+                    @pl.when(j * gp + g == jc)
+                    def _(plan=plan, g=g):
+                        # jc-case plans index views relative to period 0
+                        # of the program (j == 0 when this fires)
+                        assemble(plan, g)
+            # Precision.HIGHEST is load-bearing; see _kernel.
+            o_ref[g * P + m] = _word2int(jnp.dot(
+                w_ref[m], scratch[...],
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32))
+
+
+def _v3_periods_per_program(P: int) -> int:
+    """Small weight cycles (e.g. integer ratios, P == 1) would otherwise
+    yield one tiny block per program; batch ~20 blocks per program like the
+    flagship's natural P."""
+    return max(1, 20 // P)
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "S", "n_blocks",
@@ -338,16 +354,19 @@ def resample_conv_tm_pallas_v3(hist, x, w, offsets: tuple, *, S: int,
     x:    int16[T_c, B]    T_c = (n_periods + V - 1) * S; real data in
                            rows [0, n_in), zeros in [n_in, n_in + K)
     w:    f32[P, K, R]     built with origin_shift = H - (filt_len - 1)
-    returns int16[n_blocks * R, B].
+    returns int16[n_blocks * R, B];  n_blocks // P must be a multiple of
+    _v3_periods_per_program(P).
     """
     P, K, R = w.shape
     H, B = hist.shape
     T_c = x.shape[0]
     assert H % 16 == 0 and x.shape[1] == B
     n_periods = n_blocks // P
+    gp = _v3_periods_per_program(P)
+    assert n_periods % gp == 0, (n_periods, gp)
     back = _v3_back(S, H)
-    V = _v3_views(S, K, H, offsets)
-    assert T_c >= (n_periods - back + V) * S, (T_c, n_periods, V, S)
+    V = _v3_views(S, K, H, offsets) + (gp - 1)
+    assert T_c >= (n_periods - back + V - (gp - 1)) * S, (T_c, n_periods, V)
 
     wT = w.transpose(0, 2, 1).astype(jnp.float32)  # [P, R, K]
     w_bytes = P * R * K * 4
@@ -380,21 +399,21 @@ def resample_conv_tm_pallas_v3(hist, x, w, offsets: tuple, *, S: int,
     def view_spec(v):
         return pl.BlockSpec(
             (S, lb),
-            lambda i, j, v=v: (jnp.clip(j - back + v, 0,
+            lambda i, j, v=v: (jnp.clip(j * gp - back + v, 0,
                                         n_chunk_blocks - 1), i),
             memory_space=pltpu.VMEM)
 
     y = pl.pallas_call(
         functools.partial(_kernel_v3, offs=tuple(offsets), S=S, K=K, H=H,
-                          n_views=V),
-        grid=(n_lane_tiles, n_periods),
+                          n_views=V, gp=gp),
+        grid=(n_lane_tiles, n_periods // gp),
         in_specs=[
             pl.BlockSpec((P, R, K), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((H, lb), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
         ] + [view_spec(v) for v in range(V)],
-        out_specs=pl.BlockSpec((P, R, lb), lambda i, j: (j, 0, i),
+        out_specs=pl.BlockSpec((P * gp, R, lb), lambda i, j: (j, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_blocks, R, B_pad), jnp.int16),
         scratch_shapes=[pltpu.VMEM((K, lb), jnp.float32)],

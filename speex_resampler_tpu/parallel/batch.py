@@ -130,9 +130,11 @@ class BatchedStep:
 def _launch_geometry(spec: fd.FilterSpec, target_in_frames: int,
                      use_pallas: bool = False) -> BatchSpec:
     if use_pallas:
+        from ..ops import pallas_fir
         ptw = _tiled_weights(spec)
         if ptw.w.nbytes <= _MAX_TILED_WEIGHT_BYTES:
-            n_periods = max(1, round(target_in_frames / ptw.S))
+            gp = pallas_fir._v3_periods_per_program(ptw.P)
+            n_periods = max(gp, round(target_in_frames / (ptw.S * gp)) * gp)
             return BatchSpec(num=spec.num, den=spec.den,
                              quality=spec.quality, filt_len=spec.filt_len,
                              group=1, n_blocks=n_periods * ptw.P, f0=0,
@@ -187,8 +189,9 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
         H = _hist_rows_tiled(N)
         n_periods = bspec.n_blocks // ptw.P
         back = pallas_fir._v3_back(ptw.S, H)
-        V = pallas_fir._v3_views(ptw.S, ptw.K, H, ptw.offsets)
-        chunk_rows = (n_periods - back + V) * ptw.S
+        gp = pallas_fir._v3_periods_per_program(ptw.P)
+        V = pallas_fir._v3_views(ptw.S, ptw.K, H, ptw.offsets) + (gp - 1)
+        chunk_rows = (n_periods - back + V - (gp - 1) + (gp - 1)) * ptw.S
         offsets = tuple(int(o) for o in ptw.offsets)
         conv = functools.partial(pallas_fir.resample_conv_tm_pallas_v3,
                                  offsets=offsets, S=ptw.S,
