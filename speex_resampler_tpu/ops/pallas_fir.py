@@ -33,7 +33,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["resample_conv_tm_pallas", "resample_conv_tm_pallas_v2",
-           "resample_conv_tm_pallas_v3", "pick_lane_tile"]
+           "resample_conv_tm_pallas_v3", "resample_conv_tm_pallas_v4",
+           "pick_lane_tile"]
 
 _LANE = 128
 # per-program VMEM budget for the x tile; Pallas double-buffers grid inputs,
@@ -424,6 +425,163 @@ def resample_conv_tm_pallas_v3(hist, x, w, offsets: tuple, *, S: int,
             transcendentals=0),
         interpret=interpret,
     )(wT, hist, *([x] * V))
+
+    y = y.reshape(n_blocks * R, B_pad)
+    return y[:, :B] if B_pad != B else y
+
+
+# ---------------------------------------------------------------------------
+# v4: streamed-weight kernel for LARGE weight cycles.
+#
+# Configs whose reduced denominator is coprime with R*num (e.g. 48k->44.1k,
+# den=147) have P = den distinct block weights — tens of MB, far beyond
+# VMEM residency.  Here the weight set and the input stay in HBM; each
+# program handles ONE block and manually DMAs its weight matrix [R, K] and
+# its input patch [K, lb] into double-buffered scratch, issuing block j+1's
+# copies before waiting on block j's (the classic cross-program pipeline).
+# Block input offsets are recomputed in-kernel from the closed form
+#     row(j) = align16((f0 + j*R*num)//den + shift) - H
+# so no offset table is needed; the sub-16 remainder is folded into the
+# weights exactly as in v2/v3 (DMA offsets need no alignment at all, but
+# the weights are shared with the other kernels).  The few early blocks
+# whose window starts inside the history prefix get a synchronous fix-up.
+# ---------------------------------------------------------------------------
+
+
+def _v4_hist_plans(R: int, K: int, H: int, num: int, den: int,
+                   shift: int) -> tuple:
+    """(block j, hist row h0, rows n_h) for blocks reaching into history."""
+    plans = []
+    j = 0
+    while True:
+        av = (((j * R * num) // den + shift) // 16) * 16
+        if av >= H:
+            break
+        plans.append((j, av, min(H - av, K)))
+        j += 1
+    return tuple(plans)
+
+
+def _kernel_v4(h_ref, w_hbm, x_hbm, o_ref, xbuf, wbuf, xsem, wsem, fsem, *,
+               R: int, K: int, H: int, num: int, den: int, shift: int,
+               P: int, n_blocks: int, lb: int, hist_plans: tuple):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    col = i * lb
+
+    def x_dma(jj, slot):
+        t = jj * (R * num)
+        row = ((t // den + shift) // 16) * 16 - H
+        row = pl.multiple_of(jnp.maximum(row, 0), 16)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(row, K), pl.ds(col, lb)],
+            xbuf.at[slot], xsem.at[slot])
+
+    def w_dma(jj, slot):
+        return pltpu.make_async_copy(w_hbm.at[jj % P], wbuf.at[slot],
+                                     wsem.at[slot])
+
+    @pl.when(j == 0)
+    def _():
+        x_dma(0, 0).start()
+        w_dma(0, 0).start()
+
+    slot = jax.lax.rem(j, 2)
+    nslot = jax.lax.rem(j + 1, 2)
+
+    @pl.when(j + 1 < n_blocks)
+    def _():
+        x_dma(j + 1, nslot).start()
+        w_dma(j + 1, nslot).start()
+
+    x_dma(j, slot).wait()
+    w_dma(j, slot).wait()
+
+    # early blocks: rewrite the patch as [hist rows | chunk prefix]
+    for jj, h0, n_h in hist_plans:
+        @pl.when(j == jj)
+        def _(h0=h0, n_h=n_h):
+            if n_h < K:
+                fix = pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(0, K - n_h), pl.ds(col, lb)],
+                    xbuf.at[slot, pl.ds(n_h, K - n_h)], fsem)
+                fix.start()
+                fix.wait()
+            xbuf[slot, pl.ds(0, n_h), :] = h_ref[pl.ds(h0, n_h), :]
+
+    # Precision.HIGHEST is load-bearing; see _kernel.
+    o_ref[0] = _word2int(jnp.dot(
+        wbuf[slot], xbuf[slot].astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("n_blocks", "shift", "num",
+                                             "den", "interpret",
+                                             "lane_tile"))
+def resample_conv_tm_pallas_v4(hist, x, w, *, n_blocks: int, shift: int,
+                               num: int, den: int, interpret: bool = False,
+                               lane_tile: int | None = None):
+    """Streamed-weight launch for large-P configs.
+
+    hist: int16[H, B];  x: int16[T_c, B] (real rows ++ >=K zero rows);
+    w: f32[P, R, K] PRE-TRANSPOSED cyclic set (stays in HBM; the caller
+    transposes once at build time — transposing per launch would re-stream
+    the whole set through HBM).
+    returns int16[n_blocks * R, B].
+    """
+    P, R, K = w.shape
+    H, B = hist.shape
+    assert H % 16 == 0 and x.shape[1] == B
+    hist_plans = _v4_hist_plans(R, K, H, num, den, shift)
+
+    B_pad = -(-B // _LANE) * _LANE
+    if B_pad != B:
+        hist = jnp.pad(hist, ((0, 0), (0, B_pad - B)))
+        x = jnp.pad(x, ((0, 0), (0, B_pad - B)))
+    if lane_tile is None:
+        # widest tile that fits VMEM: the weight set is re-streamed from
+        # HBM once per lane tile, so fewer tiles = less weight traffic
+        lb = (14 * 1024 * 1024 - 8 * R * K) // (4 * K + 4 * H + 4 * R)
+        lb = max(_LANE, (lb // _LANE) * _LANE)
+    else:
+        lb = lane_tile
+    lb = min(lb, B_pad)
+    n_lane_tiles = -(-B_pad // lb)
+    if n_lane_tiles * lb != B_pad:
+        pad = n_lane_tiles * lb - B_pad
+        hist = jnp.pad(hist, ((0, 0), (0, pad)))
+        x = jnp.pad(x, ((0, 0), (0, pad)))
+        B_pad = n_lane_tiles * lb
+
+    y = pl.pallas_call(
+        functools.partial(_kernel_v4, R=R, K=K, H=H, num=num, den=den,
+                          shift=shift, P=P, n_blocks=n_blocks, lb=lb,
+                          hist_plans=hist_plans),
+        grid=(n_lane_tiles, n_blocks),
+        in_specs=[
+            pl.BlockSpec((H, lb), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, R, lb), lambda i, j: (j, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, R, B_pad), jnp.int16),
+        scratch_shapes=[
+            pltpu.VMEM((2, K, lb), jnp.int16),
+            pltpu.VMEM((2, R, K), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_blocks * R * K * B_pad,
+            bytes_accessed=(H * B_pad + n_blocks * R * B_pad) * 2
+            + n_blocks * (K * lb * 2 + R * K * 4) * n_lane_tiles,
+            transcendentals=0),
+        interpret=interpret,
+    )(hist, w, x)
 
     y = y.reshape(n_blocks * R, B_pad)
     return y[:, :B] if B_pad != B else y

@@ -51,8 +51,10 @@ __all__ = ["BatchedResampler", "make_batched_step", "BatchSpec"]
 
 
 # Phase-tiled weights live whole in VMEM (ops/pallas_fir._kernel_v3);
-# above this size fall back to the dense kernel.
+# above this size the streamed-weight kernel (v4) keeps them in HBM, up to
+# a sanity cap beyond which the dense kernel takes over.
 _MAX_TILED_WEIGHT_BYTES = 4 * 1024 * 1024
+_MAX_STREAMED_WEIGHT_BYTES = 256 * 1024 * 1024
 
 
 @dataclasses.dataclass(frozen=True)
@@ -85,14 +87,14 @@ class BatchSpec:
     @property
     def in_per_launch(self) -> int:
         """Input frames consumed per lane per launch."""
-        if self.kernel == "tiled":
+        if self.kernel in ("tiled", "streamed"):
             return (self.n_blocks // self.P) * self.S
         return self.n_blocks * self.stride
 
     @property
     def out_per_launch(self) -> int:
         """Output frames produced per lane per launch."""
-        if self.kernel == "tiled":
+        if self.kernel in ("tiled", "streamed"):
             return self.n_blocks * self.R
         return self.n_blocks * self.group * self.den
 
@@ -139,6 +141,12 @@ def _launch_geometry(spec: fd.FilterSpec, target_in_frames: int,
                              quality=spec.quality, filt_len=spec.filt_len,
                              group=1, n_blocks=n_periods * ptw.P, f0=0,
                              kernel="tiled", S=ptw.S, P=ptw.P, R=ptw.R)
+        if ptw.w.nbytes <= _MAX_STREAMED_WEIGHT_BYTES:
+            n_periods = max(1, round(target_in_frames / ptw.S))
+            return BatchSpec(num=spec.num, den=spec.den,
+                             quality=spec.quality, filt_len=spec.filt_len,
+                             group=1, n_blocks=n_periods * ptw.P, f0=0,
+                             kernel="streamed", S=ptw.S, P=ptw.P, R=ptw.R)
     group = fm.choose_group(spec.num, spec.den, spec.filt_len)
     stride = group * spec.num
     n_blocks = max(1, round(target_in_frames / stride))
@@ -180,6 +188,33 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
             in_specs=(P(None, axis), P(None, axis), P()),
             out_specs=(P(None, axis), P(None, axis)),
             check_rep=False))
+
+    if bspec.kernel == "streamed":
+        assert use_pallas, "streamed geometry requires the Pallas kernel"
+        from ..ops import pallas_fir
+        ptw = _tiled_weights(spec)
+        assert (ptw.S, ptw.P, ptw.R) == (bspec.S, bspec.P, bspec.R)
+        H = _hist_rows_tiled(N)
+        shift = H - (N - 1)
+        # Mosaic DMAs slices of the HBM weight set; the minor dim (K) must
+        # be lane-aligned
+        K_pad = -(-ptw.K // 128) * 128
+        w_np = np.pad(ptw.w, ((0, 0), (0, K_pad - ptw.K), (0, 0)))
+        chunk_rows = -(-(n_in + K_pad) // 16) * 16
+        conv = functools.partial(pallas_fir.resample_conv_tm_pallas_v4,
+                                 n_blocks=bspec.n_blocks, shift=shift,
+                                 num=spec.num, den=spec.den,
+                                 interpret=pallas_interpret)
+        w_streamed = jnp.asarray(
+            np.ascontiguousarray(w_np.transpose(0, 2, 1)))
+
+        def step(hist, x, w):
+            y = conv(hist, x, w)[:n_out]
+            hist2 = jax.lax.dynamic_slice_in_dim(x, n_in - H, H, axis=0)
+            return hist2, y
+
+        return BatchedStep(fn=_wrap(step), w=w_streamed, hist_rows=H,
+                           chunk_rows=chunk_rows, zero_tail=K_pad)
 
     if bspec.kernel == "tiled":
         assert use_pallas, "tiled geometry requires the Pallas kernel"

@@ -229,3 +229,18 @@ def test_batched_pallas_interpret_extreme_ratios(in_rate, out_rate, quality):
     got = np.concatenate([eng.process(frames), eng.flush()], axis=1)
     assert got.shape == ref.shape
     assert_lsb_close(got.ravel(), ref.ravel())
+
+
+def test_batched_pallas_streamed_weights():
+    """Large-P configs (48k->44.1k q10, P=147) use the streamed-weight v4
+    kernel; interpret mode vs the dense engine."""
+    S, C = 2, 1
+    frames = _random_frames(S, 45000, C, seed=13)
+    ref_eng = BatchedResampler(S, C, 48000, 44100, 10, use_pallas=False)
+    ref = np.concatenate([ref_eng.process(frames), ref_eng.flush()], axis=1)
+    eng = BatchedResampler(S, C, 48000, 44100, 10, use_pallas=True,
+                           pallas_interpret=True)
+    assert eng.bspec.kernel == "streamed"
+    got = np.concatenate([eng.process(frames), eng.flush()], axis=1)
+    assert got.shape == ref.shape
+    assert_lsb_close(got.ravel(), ref.ravel())
