@@ -562,8 +562,8 @@ def resample_conv_tm_pallas_v4(hist, x, w, *, n_blocks: int, shift: int,
         in_specs=[
             pl.BlockSpec((H, lb), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, R, lb), lambda i, j: (j, 0, i),
                                memory_space=pltpu.VMEM),

@@ -181,13 +181,12 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
     def _wrap(step_impl):
         if mesh is None:
             return jax.jit(step_impl)
-        from jax.experimental.shard_map import shard_map
         P = jax.sharding.PartitionSpec
-        return jax.jit(shard_map(
+        return jax.jit(jax.shard_map(
             step_impl, mesh=mesh,
             in_specs=(P(None, axis), P(None, axis), P()),
             out_specs=(P(None, axis), P(None, axis)),
-            check_rep=False))
+            check_vma=False))
 
     if bspec.kernel == "streamed":
         assert use_pallas, "streamed geometry requires the Pallas kernel"
