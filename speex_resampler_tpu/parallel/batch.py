@@ -63,10 +63,12 @@ class BatchSpec:
 
     kernel == "dense": v1 geometry — super-blocks of R = group*den outputs,
     one dense GEMM each (ops/fir_matmul.py layout).
-    kernel == "tiled": v2/v3 geometry — blocks of R = 128 outputs with
-    cyclic phase weights (ops/pallas_fir.resample_conv_tm_pallas_v3);
-    n_blocks is a multiple of P and n_blocks/P "periods" consume S inputs
-    each.
+    kernel == "tiled": v3 geometry — blocks of R = 128 outputs with cyclic
+    phase weights resident in VMEM (resample_conv_tm_pallas_v3); n_blocks
+    is a multiple of P and n_blocks/P "periods" consume S inputs each.
+    kernel == "streamed": same block geometry, but the weight cycle is too
+    large for VMEM (P = den for coprime ratios) and streams from HBM with
+    manual double-buffered DMA (resample_conv_tm_pallas_v4).
     """
     num: int
     den: int
