@@ -32,9 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["resample_conv_tm_pallas", "resample_conv_tm_pallas_v2",
-           "resample_conv_tm_pallas_v3", "resample_conv_tm_pallas_v4",
-           "pick_lane_tile"]
+__all__ = ["resample_conv_tm_pallas", "resample_conv_tm_pallas_v3",
+           "resample_conv_tm_pallas_v4", "pick_lane_tile"]
 
 _LANE = 128
 # per-program VMEM budget for the x tile; Pallas double-buffers grid inputs,
@@ -137,104 +136,18 @@ def resample_conv_tm_pallas(x, w, *, stride: int, interpret: bool = False,
 
 
 # ---------------------------------------------------------------------------
-# v2: MXU-aligned phase-tiled kernel, one weight PERIOD per program.
-#
-# v1 pays for its one-dense-GEMM-per-superblock shape: [R=den, L=N+num] tiles
-# fill the 128x128 MXU poorly (12 systolic passes per 160 outputs for
-# 44.1k->48k Q7).  Here outputs are tiled in blocks of exactly R=128 (one
-# full MXU pass on the output axis) with cyclic per-block-phase weights
-# (ops/phase.build_phase_tiled_weights), and each program executes one full
-# weight period of P blocks, so every weight index and input offset is a
-# compile-time constant: no SMEM lookups, no per-block program overhead
-# (measured: 640 one-block programs/launch ran 1.4x slower than 32
-# period-programs).  All input slices are 16-aligned (the int16 sublane
-# tile) because each block's sub-16 start remainder is pre-folded into its
-# weight matrix as leading zero rows.  The whole weight set stays resident
-# in VMEM across the launch.
-# ---------------------------------------------------------------------------
-
-
-def _kernel_v2(w_ref, x_ref, o_ref, *, offs: tuple, S: int, K: int):
-    j = pl.program_id(1)
-    base = j * S
-    for m, off_m in enumerate(offs):
-        patch = x_ref[pl.ds(base + off_m, K), :].astype(jnp.float32)
-        # Precision.HIGHEST is load-bearing; see _kernel.
-        o_ref[m] = _word2int(jnp.dot(
-            w_ref[m], patch, precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32))
-
-
-@functools.partial(jax.jit, static_argnames=("offsets", "S", "n_blocks",
-                                             "interpret", "lane_tile"))
-def resample_conv_tm_pallas_v2(x, w, offsets: tuple, *, S: int,
-                               n_blocks: int, interpret: bool = False,
-                               lane_tile: int | None = None):
-    """Phase-tiled time-major resample launch.
-
-    x:       int16[T, B]   history ++ chunk ++ tail pad; block j reads rows
-                           (j//P)*S + offsets[j%P] .. +K  (all 16-aligned)
-    w:       f32[P, K, R]  cyclic weights (ops/phase.build_phase_tiled_weights)
-    offsets: static tuple of P ints
-    returns int16[n_blocks * R, B];  n_blocks must be a multiple of P.
-    """
-    P, K, R = w.shape
-    T, B = x.shape
-    assert len(offsets) == P and n_blocks % P == 0, (len(offsets), P,
-                                                     n_blocks)
-    n_periods = n_blocks // P
-    assert T >= (n_periods - 1) * S + offsets[-1] + K, (T, n_periods, S, K)
-
-    wT = w.transpose(0, 2, 1).astype(jnp.float32)  # [P, R, K]
-    w_bytes = P * R * K * 4
-
-    B_pad = -(-B // _LANE) * _LANE
-    if B_pad != B:
-        x = jnp.pad(x, ((0, 0), (0, B_pad - B)))
-    if lane_tile is None:
-        # VMEM: x slab double-buffered (2*T*lb*2) + resident w + out block
-        # double-buffered (2*P*R*lb*2) within ~14 MB
-        lb = (14 * 1024 * 1024 - w_bytes) // (4 * T + 4 * P * R)
-        lb = max(_LANE, (lb // _LANE) * _LANE)
-    else:
-        lb = lane_tile
-    lb = min(lb, B_pad)
-    n_lane_tiles = -(-B_pad // lb)
-    if n_lane_tiles * lb != B_pad:
-        x = jnp.pad(x, ((0, 0), (0, n_lane_tiles * lb - B_pad)))
-        B_pad = n_lane_tiles * lb
-
-    y = pl.pallas_call(
-        functools.partial(_kernel_v2, offs=tuple(offsets), S=S, K=K),
-        grid=(n_lane_tiles, n_periods),
-        in_specs=[
-            pl.BlockSpec((P, R, K), lambda i, j: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, lb), lambda i, j: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((P, R, lb), lambda i, j: (j, 0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_blocks, R, B_pad), jnp.int16),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n_blocks * R * K * B_pad,
-            bytes_accessed=T * B_pad * 2 + n_blocks * R * B_pad * 2,
-            transcendentals=0),
-        interpret=interpret,
-    )(wT, x)
-
-    y = y.reshape(n_blocks * R, B_pad)
-    return y[:, :B] if B_pad != B else y
-
-
-# ---------------------------------------------------------------------------
 # v3: concat-free phase-tiled kernel.
 #
-# v2 consumes one contiguous [T, B] slab, which forces the engine step to
-# materialize concat(history, chunk, pad) — a full extra read+write of the
-# chunk (~0.2 ms of the 0.78 ms flagship launch).  v3 reads the history and
-# the chunk as SEPARATE refs and assembles each block's patch in VMEM
-# scratch from statically-split aligned copies:
+# Phase-tiled design: outputs in blocks of exactly R = 128 (one full MXU
+# pass on the output axis) with cyclic per-block-phase weights
+# (ops/phase.build_phase_tiled_weights) kept resident in VMEM; each program
+# executes whole weight periods so every weight index and input offset is a
+# compile-time constant.  Earlier revisions (see git history /
+# docs/design.md) consumed one contiguous [T, B] slab, which forced the
+# engine step to materialize concat(history, chunk, pad) — a full extra
+# read+write of the chunk (~0.2 ms of the 0.78 ms flagship launch).  v3
+# reads the history and the chunk as SEPARATE refs and assembles each
+# block's patch in VMEM scratch from statically-split aligned copies:
 #
 #   virtual axis = hist_pad(H rows) ++ chunk, H = filt_len-1 rounded up to
 #   16; the sub-16 remainder is folded into the weights as an origin shift
