@@ -101,6 +101,19 @@ class BatchSpec:
         return self.n_blocks * self.group * self.den
 
 
+def _next_hist(hist, x, n_in: int, H: int):
+    """Last H rows of the virtual stream hist ++ x[:n_in].
+
+    When the launch quantum is smaller than the history window
+    (n_in < H — tiny target_chunk_frames with a long filter), part of the
+    previous history survives into the next launch; a plain slice of x
+    would clamp its negative start and silently corrupt the filter state.
+    """
+    if n_in >= H:
+        return jax.lax.dynamic_slice_in_dim(x, n_in - H, H, axis=0)
+    return jnp.concatenate([hist[n_in:], x[:n_in]], axis=0)
+
+
 def _hist_rows_tiled(filt_len: int) -> int:
     """History rows for the concat-free kernel: filt_len-1 rounded up to the
     int16 sublane tile so the hist/chunk boundary is 16-aligned."""
@@ -211,8 +224,7 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
 
         def step(hist, x, w):
             y = conv(hist, x, w)[:n_out]
-            hist2 = jax.lax.dynamic_slice_in_dim(x, n_in - H, H, axis=0)
-            return hist2, y
+            return _next_hist(hist, x, n_in, H), y
 
         return BatchedStep(fn=_wrap(step), w=w_streamed, hist_rows=H,
                            chunk_rows=chunk_rows, zero_tail=K_pad)
@@ -236,8 +248,7 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
 
         def step(hist, x, w):
             y = conv(hist, x, w)[:n_out]
-            hist2 = jax.lax.dynamic_slice_in_dim(x, n_in - H, H, axis=0)
-            return hist2, y
+            return _next_hist(hist, x, n_in, H), y
 
         return BatchedStep(fn=_wrap(step), w=jnp.asarray(ptw.w),
                            hist_rows=H, chunk_rows=chunk_rows,

@@ -244,3 +244,40 @@ def test_batched_pallas_streamed_weights():
     got = np.concatenate([eng.process(frames), eng.flush()], axis=1)
     assert got.shape == ref.shape
     assert_lsb_close(got.ravel(), ref.ravel())
+
+
+def test_small_quantum_history_carry():
+    """Launch quantum smaller than the history window (n_in < hist_rows):
+    the next history must splice surviving old history with the new chunk,
+    not slice past the chunk's start (round-1 advisory: silent filter-state
+    corruption, ~27k LSB error)."""
+    S, C = 1, 1
+    frames = _random_frames(S, 4000, C, seed=21)
+    ref_eng = BatchedResampler(S, C, 100, 44100, 10, use_pallas=False)
+    ref = np.concatenate([ref_eng.process(frames), ref_eng.flush()], axis=1)
+
+    eng = BatchedResampler(S, C, 100, 44100, 10, target_chunk_frames=128,
+                           use_pallas=True, pallas_interpret=True)
+    assert eng.bspec.in_per_launch < eng._step.hist_rows  # the bug trigger
+    got = np.concatenate([eng.process(frames), eng.flush()], axis=1)
+    assert got.shape == ref.shape
+    assert_lsb_close(got.ravel(), ref.ravel())
+
+
+def test_small_quantum_history_carry_tiled():
+    """Same n_in < hist_rows trigger on the VMEM-tiled kernel (small
+    target_chunk_frames with a long Q10 filter)."""
+    S, C = 2, 1
+    # 1/64 upsample: S = 2 inputs per weight period, so the minimum launch
+    # quantum (40 frames) is far below the Q10 history window (256 rows)
+    frames = _random_frames(S, 600, C, seed=22)
+    ref_eng = BatchedResampler(S, C, 1000, 64000, 10, use_pallas=False)
+    ref = np.concatenate([ref_eng.process(frames), ref_eng.flush()], axis=1)
+
+    eng = BatchedResampler(S, C, 1000, 64000, 10, target_chunk_frames=16,
+                           use_pallas=True, pallas_interpret=True)
+    assert eng.bspec.kernel == "tiled"
+    assert eng.bspec.in_per_launch < eng._step.hist_rows
+    got = np.concatenate([eng.process(frames), eng.flush()], axis=1)
+    assert got.shape == ref.shape
+    assert_lsb_close(got.ravel(), ref.ravel())
