@@ -7,7 +7,12 @@ this script measures throughput on the real chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 value = output samples/sec of the steady-state device step and vs_baseline
-= value / 1e9 (the BASELINE north-star).
+= value / 1e9 (the BASELINE north-star).  extra carries:
+  - vs_reference_cpu: value / the *measured* throughput of the reference C
+    core compiled -O3 on this host (SURVEY.md §6: the reference publishes
+    no numbers, so the compiled oracle is the CPU baseline)
+  - sweep: per-kernel-family configs (short-cycle tiled, streamed-weight
+    v4, downsample) so regressions outside the flagship are visible
 
 Methodology: ITERS chained launches run inside one lax.scan dispatch (a
 y-derived checksum in the carry keeps every launch live), timed at two scan
@@ -21,8 +26,11 @@ device sits behind a network tunnel, so e2e is tunnel-bound, not chip-bound.
 
 import functools
 import json
+import math
+import subprocess
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
 import jax
@@ -36,19 +44,27 @@ from speex_resampler_tpu.parallel.batch import (_launch_geometry,
 
 N_STREAMS = 1024
 CHANNELS = 2
-IN_RATE, OUT_RATE, QUALITY = 44100, 48000, 7
+FLAGSHIP = (44100, 48000, 7)
 TARGET_IN_FRAMES = 9408
 ITERS_SHORT, ITERS_LONG = 4, 24
 REPS = 4
+SWEEP = [
+    # (in_rate, out_rate, quality)   kernel family exercised
+    (24000, 48000, 5),   # tiled, short cycle (P=1, batched periods)
+    (48000, 44100, 10),  # streamed-weight v4 (P=147), double-acc quality
+    (44100, 24000, 5),   # downsample (longer filter, scaled cutoff)
+]
+
+REPO = Path(__file__).resolve().parent
 
 
-def main():
-    backend = jax.default_backend()
+def measure_config(in_rate, out_rate, quality, *, use_pallas,
+                   target_in_frames=TARGET_IN_FRAMES):
+    """Median scan-slope per-launch seconds + geometry for one config."""
     B = N_STREAMS * CHANNELS
-    use_pallas = backend == "tpu"
-
-    spec = fd.design_filter(147, 160, QUALITY)
-    bspec = _launch_geometry(spec, TARGET_IN_FRAMES, use_pallas=use_pallas)
+    g = math.gcd(in_rate, out_rate)
+    spec = fd.design_filter(in_rate // g, out_rate // g, quality)
+    bspec = _launch_geometry(spec, target_in_frames, use_pallas=use_pallas)
     bstep = make_batched_step(spec, bspec, use_pallas=use_pallas)
     step, w = bstep.fn, bstep.w
     n_real = bspec.in_per_launch
@@ -94,12 +110,65 @@ def main():
     # independent slope measurements
     slopes = sorted(one_slope(s) for s in range(3))
     per_launch = slopes[len(slopes) // 2]
-    device_sps = bspec.out_per_launch * B / per_launch
+    return {
+        "kernel": bspec.kernel,
+        "launch_ms": round(per_launch * 1e3, 4),
+        "launch_ms_runs": [round(v * 1e3, 4) for v in slopes],
+        "out_samples_per_sec": round(bspec.out_per_launch * B / per_launch),
+        "in_samples_per_sec": round(bspec.in_per_launch * B / per_launch),
+        "in_frames_per_launch": bspec.in_per_launch,
+        "out_frames_per_launch": bspec.out_per_launch,
+        "bspec": bspec, "x_np": x_np,
+    }
+
+
+def oracle_cpu_baseline(in_rate, out_rate, quality, seconds=1.5):
+    """Measured throughput of the reference C core, -O3, on this host."""
+    exe = REPO / "build" / "oracle_bench"
+    src = REPO / "tests" / "oracle" / "oracle.c"
+    try:
+        if not (exe.exists() and exe.stat().st_mtime > src.stat().st_mtime):
+            exe.parent.mkdir(exist_ok=True)
+            subprocess.run(
+                ["gcc", "-O3", "-DFLOATING_POINT", "-DOUTSIDE_SPEEX",
+                 "-I/root/reference/deps/speex", str(src), "-lm",
+                 "-o", str(exe)], check=True)
+        out = subprocess.run(
+            [str(exe), "bench", str(CHANNELS), str(in_rate), str(out_rate),
+             str(quality), str(seconds)],
+            capture_output=True, check=True, timeout=120).stdout
+        return json.loads(out)
+    except Exception as e:  # no reference checkout / no gcc: skip, not fail
+        return {"error": repr(e)}
+
+
+def main():
+    backend = jax.default_backend()
+    use_pallas = backend == "tpu"
+    B = N_STREAMS * CHANNELS
+
+    flag = measure_config(*FLAGSHIP, use_pallas=use_pallas)
+    device_sps = flag["out_samples_per_sec"]
+
+    sweep = {}
+    for (ir, orate, q) in SWEEP:
+        m = measure_config(ir, orate, q, use_pallas=use_pallas)
+        ref = oracle_cpu_baseline(ir, orate, q)
+        sweep[f"{ir}->{orate} q{q}"] = {
+            k: m[k] for k in ("kernel", "launch_ms", "out_samples_per_sec",
+                              "in_samples_per_sec")
+        } | {"vs_reference_cpu": (
+            round(m["out_samples_per_sec"]
+                  / ref["out_samples_per_sec"], 1)
+            if "out_samples_per_sec" in ref else None)}
+
+    ref_flag = oracle_cpu_baseline(*FLAGSHIP)
 
     # end-to-end through the public engine (host staging + transfers)
-    eng = BatchedResampler(N_STREAMS, CHANNELS, IN_RATE, OUT_RATE, QUALITY,
-                           target_chunk_frames=bspec.in_per_launch)
-    chunk_np = x_np[:n_real]
+    eng = BatchedResampler(N_STREAMS, CHANNELS, *FLAGSHIP[:2],
+                           FLAGSHIP[2],
+                           target_chunk_frames=flag["in_frames_per_launch"])
+    chunk_np = flag["x_np"][:flag["in_frames_per_launch"]]
     eng.process(chunk_np)  # warmup/compile
     t0 = time.perf_counter()
     e2e_iters = 5
@@ -112,21 +181,26 @@ def main():
     result = {
         "metric": "output samples/sec, batched q7 44.1k->48k stereo "
                   f"({N_STREAMS} streams, device-resident steady state)",
-        "value": round(device_sps),
+        "value": device_sps,
         "unit": "samples/sec",
         "vs_baseline": round(device_sps / 1e9, 3),
         "extra": {
             "backend": backend,
             "device_kind": jax.devices()[0].device_kind,
-            "kernel": bspec.kernel,
-            "launch_ms": round(per_launch * 1e3, 4),
-            "launch_ms_runs": [round(v * 1e3, 4) for v in slopes],
-            "input_samples_per_sec": round(bspec.in_per_launch * B
-                                           / per_launch),
+            "kernel": flag["kernel"],
+            "launch_ms": flag["launch_ms"],
+            "launch_ms_runs": flag["launch_ms_runs"],
+            "input_samples_per_sec": flag["in_samples_per_sec"],
+            "vs_reference_cpu": (
+                round(device_sps / ref_flag["out_samples_per_sec"])
+                if "out_samples_per_sec" in ref_flag else None),
+            "reference_cpu_out_samples_per_sec": ref_flag.get(
+                "out_samples_per_sec"),
             "e2e_samples_per_sec_via_tunnel": round(e2e_sps),
             "streams": N_STREAMS, "channels": CHANNELS,
-            "in_frames_per_launch": bspec.in_per_launch,
-            "out_frames_per_launch": bspec.out_per_launch,
+            "in_frames_per_launch": flag["in_frames_per_launch"],
+            "out_frames_per_launch": flag["out_frames_per_launch"],
+            "sweep": sweep,
         },
     }
     print(json.dumps(result))

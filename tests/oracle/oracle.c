@@ -16,6 +16,7 @@
 #include <stdint.h>
 #include <string.h>
 #include <stdlib.h>
+#include <time.h>
 
 #define EXPORT
 #include "resample.c" /* resolved via -I$REFERENCE/deps/speex */
@@ -281,10 +282,83 @@ static int cmd_processf(int argc, char **argv)
     return 0;
 }
 
+/* CPU baseline throughput (SURVEY.md §6: the reference publishes no
+ * numbers; the compiled oracle IS the reference CPU baseline).
+ *   bench <channels> <in_rate> <out_rate> <quality> [min_seconds]
+ * Streams synthetic random PCM through process_interleaved_int in
+ * 1024-frame chunks (the core re-chunks to <=160 inputs internally,
+ * resample.c:988) until min_seconds (default 2.0) of wall-clock elapses
+ * after a short warmup; prints one JSON line with in/out samples/sec.
+ */
+static int cmd_bench(int argc, char **argv)
+{
+    if (argc < 5)
+        die("bench <channels> <in_rate> <out_rate> <quality> [min_seconds]");
+    int channels = atoi(argv[1]);
+    int in_rate = atoi(argv[2]);
+    int out_rate = atoi(argv[3]);
+    int quality = atoi(argv[4]);
+    double min_seconds = (argc > 5) ? atof(argv[5]) : 2.0;
+
+    const long chunk_frames = 1024;
+    long n = chunk_frames * channels;
+    int16_t *pcm = (int16_t *)malloc(n * 2);
+    unsigned s = 12345;
+    for (long i = 0; i < n; i++) {
+        s = s * 1664525u + 1013904223u;
+        pcm[i] = (int16_t)((s >> 16) / 2); /* music-scale, clear of clamp */
+    }
+    long out_cap = (chunk_frames * (long)out_rate + in_rate - 1) / in_rate
+                   + 64;
+    int16_t *outbuf = (int16_t *)malloc(out_cap * channels * 2);
+
+    int err = 0;
+    SpeexResamplerState *st =
+        speex_resampler_init(channels, in_rate, out_rate, quality, &err);
+    if (!st)
+        die("init failed");
+
+    struct timespec t0, t1;
+    long in_frames = 0, out_frames = 0;
+    volatile int16_t sink = 0;
+    /* warmup pass (touch caches, settle the filter) */
+    for (int i = 0; i < 64; i++) {
+        spx_uint32_t in_len = (spx_uint32_t)chunk_frames;
+        spx_uint32_t out_len = (spx_uint32_t)out_cap;
+        speex_resampler_process_interleaved_int(st, pcm, &in_len, outbuf,
+                                                &out_len);
+        sink ^= outbuf[0];
+    }
+    clock_gettime(CLOCK_MONOTONIC, &t0);
+    double elapsed = 0.0;
+    while (elapsed < min_seconds) {
+        for (int i = 0; i < 256; i++) {
+            spx_uint32_t in_len = (spx_uint32_t)chunk_frames;
+            spx_uint32_t out_len = (spx_uint32_t)out_cap;
+            if (speex_resampler_process_interleaved_int(st, pcm, &in_len,
+                                                        outbuf, &out_len))
+                die("process failed");
+            sink ^= outbuf[0];
+            in_frames += in_len;
+            out_frames += out_len;
+        }
+        clock_gettime(CLOCK_MONOTONIC, &t1);
+        elapsed = (t1.tv_sec - t0.tv_sec) + (t1.tv_nsec - t0.tv_nsec) * 1e-9;
+    }
+    speex_resampler_destroy(st);
+    printf("{\"in_samples_per_sec\": %.0f, \"out_samples_per_sec\": %.0f, "
+           "\"elapsed_s\": %.3f, \"channels\": %d, \"sink\": %d}\n",
+           in_frames * channels / elapsed, out_frames * channels / elapsed,
+           elapsed, channels, (int)sink);
+    free(pcm);
+    free(outbuf);
+    return 0;
+}
+
 int main(int argc, char **argv)
 {
     if (argc < 2)
-        die("usage: oracle <tables|process|processf|setrate> ...");
+        die("usage: oracle <tables|process|processf|setrate|bench> ...");
     if (!strcmp(argv[1], "tables"))
         return cmd_tables(argc - 1, argv + 1);
     if (!strcmp(argv[1], "process"))
@@ -293,6 +367,8 @@ int main(int argc, char **argv)
         return cmd_processf(argc - 1, argv + 1);
     if (!strcmp(argv[1], "setrate"))
         return cmd_setrate(argc - 1, argv + 1);
+    if (!strcmp(argv[1], "bench"))
+        return cmd_bench(argc - 1, argv + 1);
     die("unknown command");
     return 1;
 }
