@@ -7,9 +7,8 @@
     with its drop-unconsumed-input consequence, and identical error
     messages.
   - ``SpeexResampler.init_promise`` — the wasm-module-ready promise analog
-    (src/index.ts:31). There is no wasm to load here; awaiting it (or
-    calling ``SpeexResampler.wait_ready()``) optionally pre-warms the JAX
-    backend so first-call latency is paid up front.
+    (src/index.ts:31). There is no wasm to load here, so it resolves
+    immediately (``SpeexResampler.wait_ready()`` is the sync counterpart).
 
 ``SpeexResamplerTransform`` reproduces the Node Transform stream
 (src/index.ts:121-162): a push-based transformer with the byte-alignment
@@ -18,7 +17,6 @@ carry buffer, usable directly or over any iterable of byte chunks.
 
 from __future__ import annotations
 
-import asyncio
 import math
 
 import numpy as np
@@ -48,6 +46,12 @@ class SpeexResampler:
         self.out_rate = out_rate
         self.quality = quality
         self._core: ResamplerCore | None = None
+        # JS wrapper's retained output buffer: grows to the largest
+        # ceil(len*outRate/inRate) seen and never shrinks; the capacity
+        # passed to the core is derived from the RETAINED size
+        # (src/index.ts:80-87, :95), so a small chunk after a large one may
+        # legally emit more than its own ceil.
+        self._out_buffer_size = 0
 
     # -- module-ready analog (src/index.ts:31) --------------------------
     @classmethod
@@ -73,10 +77,12 @@ class SpeexResampler:
     def process_chunk(self, chunk: bytes | bytearray | memoryview) -> bytes:
         """Resample one chunk of interleaved signed-16-bit PCM.
 
-        Mirrors processChunk (src/index.ts:50-116): output capacity is
-        ``ceil(len(chunk) * out_rate / in_rate)`` bytes; if that binds
-        (it essentially never does for sane rates), excess input is dropped
-        exactly like the JS wrapper, which ignores the returned in_len.
+        Mirrors processChunk (src/index.ts:50-116): output capacity is the
+        retained (monotonically grown) buffer of
+        ``max over chunks of ceil(len(chunk) * out_rate / in_rate)`` bytes;
+        if that binds (it essentially never does for sane rates), excess
+        input is dropped exactly like the JS wrapper, which ignores the
+        returned in_len.
         """
         chunk = bytes(chunk)
         # JS quirk preserved: channels == 0 makes the modulus NaN, which
@@ -92,7 +98,10 @@ class SpeexResampler:
             -1, self.channels)
         out_buf_bytes = math.ceil(
             len(chunk) * self.out_rate / self.in_rate)
-        capacity = out_buf_bytes // self.channels // _BYTES_PER_SAMPLE
+        if out_buf_bytes > self._out_buffer_size:
+            self._out_buffer_size = out_buf_bytes
+        capacity = (self._out_buffer_size // self.channels
+                    // _BYTES_PER_SAMPLE)
         out = core.process_interleaved(frames, capacity)
         return out.astype("<i2").tobytes()
 

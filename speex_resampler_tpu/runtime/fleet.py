@@ -1,7 +1,7 @@
 """FleetResampler — production serving front-end for many concurrent streams.
 
 Combines the native host runtime (ragged per-stream staging, native.py /
-native/speex_tpu_runtime.cpp) with the lockstep batched device step
+speex_resampler_tpu/native/speex_tpu_runtime.cpp) with the lockstep batched device step
 (parallel/batch.py): callers push bytes or frames per stream at their own
 cadence; whenever every stream has a full launch quantum staged, ``poll()``
 runs device launches and banks per-stream output PCM for ``pull()``.
@@ -44,7 +44,10 @@ class FleetResampler:
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
         self.n_streams = n_streams
         self.channels = channels
+        self.in_rate = in_rate
+        self.out_rate = out_rate
         self.B = n_streams * channels
+        self._active = [True] * n_streams
         g = math.gcd(in_rate, out_rate)
         self.spec = fd.design_filter(in_rate // g, out_rate // g, quality)
         if use_pallas is None:
@@ -152,6 +155,7 @@ class FleetResampler:
         """Inactive slots are excluded from lockstep readiness and
         zero-filled in launch slabs."""
         self._stager.set_active(slot, active)
+        self._active[slot] = bool(active)
 
     def clear_slot(self, slot: int) -> None:
         """Reset one lane for reuse: zero filter history, drop banked
@@ -180,6 +184,9 @@ class FleetResampler:
         staged input (and alignment-carry bytes), banked output."""
         return {
             "n_streams": self.n_streams, "channels": self.channels,
+            "in_rate": self.in_rate, "out_rate": self.out_rate,
+            "quality": self.spec.quality,
+            "active": list(self._active),
             "hist": to_host(self._hist),
             "staged": [self._stager.peek(s) for s in range(self.n_streams)],
             "carry": [self._stager.carry(s) for s in range(self.n_streams)],
@@ -189,11 +196,16 @@ class FleetResampler:
 
     def load_state_dict(self, state: dict):
         if (state["n_streams"], state["channels"]) != (self.n_streams,
-                                                       self.channels):
+                                                       self.channels) or \
+                (state["in_rate"], state["out_rate"], state["quality"]) != \
+                (self.in_rate, self.out_rate, self.spec.quality):
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
         self._hist = jnp.asarray(state["hist"])
         self._stager = make_stager(self.n_streams, self.channels,
                                    self.bspec.in_per_launch)
+        # restore occupancy before staging (deactivation clears staging)
+        for s, a in enumerate(state["active"]):
+            self.set_slot_active(s, bool(a))
         for s in range(self.n_streams):
             if len(state["staged"][s]):
                 self._stager.push(s, state["staged"][s])

@@ -153,6 +153,16 @@ class MultiFleet:
         st = self._stream(sid)
         if quality is None:
             quality = st.key[2]
+        # Verify the new bucket can host the stream BEFORE tearing the old
+        # one down: a full target bucket would otherwise raise ALLOC_FAILED
+        # after the sid was popped, losing the drained carryover the old
+        # config still owed.  (Same-bucket switches are always safe: ending
+        # the stream frees its own slot.)
+        new_key = (in_rate, out_rate, quality)
+        nb = self._buckets.get(new_key)
+        if (nb is not None and not nb.free
+                and not (new_key == st.key and st.slot is not None)):
+            raise ResamplerError(ResamplerErrorCode.ALLOC_FAILED)
         self.end_stream(sid)
         tail = st.carryover
         self._streams.pop(sid, None)

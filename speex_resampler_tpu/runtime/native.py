@@ -1,14 +1,18 @@
-"""ctypes bindings for the native host runtime (native/speex_tpu_runtime.cpp).
+"""ctypes bindings for the native host runtime
+(speex_resampler_tpu/native/speex_tpu_runtime.cpp).
 
-The shared library is built on demand with g++ into ``build/`` at the repo
-root (same pattern as the golden-oracle binary).  ``PyStager`` is a pure
-NumPy implementation of the identical interface, used as a fallback and as
-the behavioral reference in tests/test_runtime.py.
+The C++ source ships inside the package (so installed wheels build it too,
+not just the repo checkout); the shared library is compiled on demand with
+g++ into the repo's ``build/`` when the source tree is writable, else into
+a per-user cache dir.  ``PyStager`` is a pure NumPy implementation of the
+identical interface, used as a fallback and as the behavioral reference in
+tests/test_runtime.py.
 """
 
 from __future__ import annotations
 
 import ctypes
+import os
 import subprocess
 from pathlib import Path
 
@@ -16,9 +20,25 @@ import numpy as np
 
 __all__ = ["load_runtime", "NativeStager", "PyStager", "make_stager"]
 
-_REPO = Path(__file__).resolve().parent.parent.parent
-_SRC = _REPO / "native" / "speex_tpu_runtime.cpp"
-_LIB = _REPO / "build" / "libspeex_tpu_runtime.so"
+_PKG = Path(__file__).resolve().parent.parent
+_SRC = _PKG / "native" / "speex_tpu_runtime.cpp"
+
+
+def _lib_path() -> Path:
+    """Build dir: repo-style checkout build/ if writable, else user cache."""
+    repo_build = _PKG.parent / "build"
+    try:
+        repo_build.mkdir(exist_ok=True)
+        if os.access(repo_build, os.W_OK):
+            return repo_build / "libspeex_tpu_runtime.so"
+    except OSError:
+        pass
+    cache = Path(os.environ.get("XDG_CACHE_HOME",
+                                Path.home() / ".cache"))
+    return cache / "speex_resampler_tpu" / "libspeex_tpu_runtime.so"
+
+
+_LIB = _lib_path()
 
 _lib = None
 _lib_failed = False
@@ -30,7 +50,7 @@ def load_runtime():
     if _lib is not None or _lib_failed:
         return _lib
     try:
-        _LIB.parent.mkdir(exist_ok=True)
+        _LIB.parent.mkdir(parents=True, exist_ok=True)
         if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
             subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",

@@ -110,18 +110,22 @@ static int cmd_process(int argc, char **argv)
     if (!fout)
         die("cannot open output");
 
+    long out_buffer_size = 0; /* JS _outBufferSize: grows, never shrinks */
     for (long pos = 0; pos < total_frames; pos += chunk_frames) {
         long frames = total_frames - pos;
         if (frames > chunk_frames)
             frames = chunk_frames;
         long chunk_bytes = frames * channels * 2;
-        /* JS: Math.ceil(chunk.length * outRate / inRate) bytes, then
-         * setValue(outLenPtr, outBufferSize / channels / 2) — float div
-         * truncated by the i32 store. */
+        /* JS: Math.ceil(chunk.length * outRate / inRate) bytes grows the
+         * RETAINED buffer (src/index.ts:80-87); then
+         * setValue(outLenPtr, this._outBufferSize / channels / 2) — float
+         * div truncated by the i32 store (src/index.ts:95). */
         long out_buf_bytes =
             (chunk_bytes * (long)out_rate + in_rate - 1) / in_rate;
+        if (out_buf_bytes > out_buffer_size)
+            out_buffer_size = out_buf_bytes;
         spx_uint32_t in_len = (spx_uint32_t)frames;
-        spx_uint32_t out_len = (spx_uint32_t)(out_buf_bytes / channels / 2);
+        spx_uint32_t out_len = (spx_uint32_t)(out_buffer_size / channels / 2);
         int16_t *outbuf = (int16_t *)calloc((size_t)out_len * channels, 2);
         int perr = speex_resampler_process_interleaved_int(
             st, pcm + pos * channels, &in_len, outbuf, &out_len);
@@ -133,6 +137,87 @@ static int cmd_process(int argc, char **argv)
     fclose(fout);
     speex_resampler_destroy(st);
     free(pcm);
+    return 0;
+}
+
+/* Like cmd_process but with an ARBITRARY chunk schedule, for asserting the
+ * JS wrapper's retained-output-buffer capacity semantics
+ * (src/index.ts:80-95) under varying chunk sizes:
+ *   chunks <channels> <in_rate> <out_rate> <quality> <in.pcm> <out.pcm>
+ *          <schedule.txt>
+ * schedule.txt holds whitespace-separated frame counts; the schedule is
+ * repeated cyclically until the input is consumed.
+ */
+static int cmd_chunks(int argc, char **argv)
+{
+    if (argc < 8)
+        die("chunks <ch> <in> <out> <q> <in.pcm> <out.pcm> <schedule.txt>");
+    int channels = atoi(argv[1]);
+    int in_rate = atoi(argv[2]);
+    int out_rate = atoi(argv[3]);
+    int quality = atoi(argv[4]);
+
+    FILE *fin = fopen(argv[5], "rb");
+    if (!fin)
+        die("cannot open input");
+    fseek(fin, 0, SEEK_END);
+    long nbytes = ftell(fin);
+    fseek(fin, 0, SEEK_SET);
+    int16_t *pcm = (int16_t *)malloc(nbytes);
+    if (fread(pcm, 1, nbytes, fin) != (size_t)nbytes)
+        die("short read");
+    fclose(fin);
+
+    long n_sched = 0, cap_sched = 16;
+    long *sched = (long *)malloc(cap_sched * sizeof(long));
+    FILE *fs = fopen(argv[7], "r");
+    if (!fs)
+        die("cannot open schedule");
+    long v;
+    while (fscanf(fs, "%ld", &v) == 1) {
+        if (n_sched == cap_sched)
+            sched = (long *)realloc(sched, (cap_sched *= 2) * sizeof(long));
+        sched[n_sched++] = v;
+    }
+    fclose(fs);
+    if (!n_sched)
+        die("empty schedule");
+
+    long total_frames = nbytes / 2 / channels;
+    int err = 0;
+    SpeexResamplerState *st =
+        speex_resampler_init(channels, in_rate, out_rate, quality, &err);
+    if (!st)
+        die("init failed");
+    FILE *fout = fopen(argv[6], "wb");
+    if (!fout)
+        die("cannot open output");
+
+    long out_buffer_size = 0;
+    long si = 0;
+    for (long pos = 0; pos < total_frames;) {
+        long frames = sched[si++ % n_sched];
+        if (frames > total_frames - pos)
+            frames = total_frames - pos;
+        long chunk_bytes = frames * channels * 2;
+        long out_buf_bytes =
+            (chunk_bytes * (long)out_rate + in_rate - 1) / in_rate;
+        if (out_buf_bytes > out_buffer_size)
+            out_buffer_size = out_buf_bytes;
+        spx_uint32_t in_len = (spx_uint32_t)frames;
+        spx_uint32_t out_len = (spx_uint32_t)(out_buffer_size / channels / 2);
+        int16_t *outbuf = (int16_t *)calloc((size_t)out_len * channels, 2);
+        if (speex_resampler_process_interleaved_int(
+                st, pcm + pos * channels, &in_len, outbuf, &out_len))
+            die("process failed");
+        fwrite(outbuf, 2, (size_t)out_len * channels, fout);
+        free(outbuf);
+        pos += frames; /* JS drops unconsumed input (ignores in_len) */
+    }
+    fclose(fout);
+    speex_resampler_destroy(st);
+    free(pcm);
+    free(sched);
     return 0;
 }
 
@@ -369,6 +454,8 @@ int main(int argc, char **argv)
         return cmd_setrate(argc - 1, argv + 1);
     if (!strcmp(argv[1], "bench"))
         return cmd_bench(argc - 1, argv + 1);
+    if (!strcmp(argv[1], "chunks"))
+        return cmd_chunks(argc - 1, argv + 1);
     die("unknown command");
     return 1;
 }

@@ -133,3 +133,35 @@ def test_transform_async(fixture_pcm):
 
     got = asyncio.run(run())
     assert got == want
+
+
+def test_capacity_grows_monotonically_like_js(oracle, tmp_path):
+    """The JS wrapper's retained output buffer only grows
+    (src/index.ts:80-87), so a 1-frame chunk after a large one may emit 2
+    frames at an upsampling ratio; per-chunk ceil capacity would clamp it
+    to 1 and drop input where the JS would not.  Golden: the oracle's
+    'chunks' mode replicating the JS loop for the same schedule."""
+    rng = np.random.default_rng(3)
+    n = 1300
+    pcm = (rng.integers(-32768, 32768, size=n) // 2).astype("<i2")
+    schedule = [1000] + [1] * (n - 1000)
+
+    r = SpeexResampler(1, 44100, 48000, 7)
+    parts = []
+    pos = 0
+    for c in schedule:
+        parts.append(r.process_chunk(pcm[pos:pos + c].tobytes()))
+        pos += c
+    got = np.frombuffer(b"".join(parts), dtype="<i2")
+
+    inp = tmp_path / "in.pcm"
+    outp = tmp_path / "out.pcm"
+    sched = tmp_path / "sched.txt"
+    inp.write_bytes(pcm.tobytes())
+    sched.write_text("1000\n" + "1\n" * (n - 1000))
+    import subprocess
+    subprocess.run([str(oracle), "chunks", "1", "44100", "48000", "7",
+                    str(inp), str(outp), str(sched)], check=True)
+    want = np.fromfile(outp, dtype=np.int16)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    assert_lsb_close(got, want)

@@ -119,3 +119,33 @@ def test_fleet_checkpoint_roundtrip():
     b.flush()
     for s in range(S):
         assert np.array_equal(b.pull(s), full[s])
+
+
+def test_fleet_checkpoint_preserves_active_flags_and_config():
+    """Restoring a snapshot with inactive slots must not reactivate them
+    (a fresh stager defaults to all-active, which would stall
+    ready_launches); loading into a mismatched-config fleet must raise."""
+    from speex_resampler_tpu.utils.errors import ResamplerError
+
+    S, C = 4, 1
+    f = FleetResampler(S, C, 24000, 48000, 5, target_chunk_frames=256,
+                       use_pallas=False)
+    q = f.bspec.in_per_launch
+    f.set_slot_active(1, False)
+    f.set_slot_active(3, False)
+    rng = np.random.default_rng(9)
+    for s in (0, 2):
+        f.push(s, (rng.integers(-1000, 1000, size=(q, C))).astype(np.int16))
+    state = f.state_dict()
+
+    g = FleetResampler(S, C, 24000, 48000, 5, target_chunk_frames=256,
+                       use_pallas=False)
+    g.load_state_dict(state)
+    # active slots 0 and 2 both hold a full quantum: must be ready
+    assert g.poll() == 1
+    assert g.pending(0) > 0 and g.pending(2) > 0
+
+    bad = FleetResampler(S, C, 24000, 44100, 5, target_chunk_frames=256,
+                         use_pallas=False)
+    with pytest.raises(ResamplerError):
+        bad.load_state_dict(state)

@@ -225,3 +225,33 @@ def test_multifleet_end_stream_tiled_history(monkeypatch):
     ref = _ref(x, 44100, 48000, 7)
     assert got.shape == ref.shape
     assert_lsb_close(got.ravel(), ref.ravel())
+
+
+def test_multifleet_set_stream_rate_full_target_bucket():
+    """A rate switch into a full bucket must fail up front and leave the
+    stream intact (previously the sid was popped before ALLOC_FAILED,
+    losing the drained carryover)."""
+    mf = MultiFleet(channels=1, capacity_per_bucket=1,
+                    target_chunk_frames=64, use_pallas=False)
+    mf.add_stream("a", 24000, 48000, 5)
+    mf.add_stream("b", 44100, 48000, 7)   # fills the 44.1k bucket
+    rng = np.random.default_rng(5)
+    x = (rng.integers(-1000, 1000, size=(500, 1))).astype(np.int16)
+    mf.push("a", x)
+    mf.poll()
+    with pytest.raises(ResamplerError):
+        mf.set_stream_rate("a", 44100, 48000, 7)
+    # stream "a" survives under its old config with its output intact
+    mf.push("a", x)
+    mf.poll()
+    mf.end_stream("a")
+    out = mf.pull("a")
+    core = ResamplerCore(1, 24000, 48000, 24000, 48000, 5)
+    want = core.process_interleaved(np.concatenate([x, x]), 10**9)
+    assert_lsb_close(out.ravel(), want.ravel())
+
+    # same-bucket switch is always allowed even when the bucket is full
+    mf.set_stream_rate("b", 44100, 48000, 7)
+    mf.push("b", x)
+    mf.flush()
+    assert mf.pull("b").shape[0] > 0
