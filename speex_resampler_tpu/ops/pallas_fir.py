@@ -54,6 +54,50 @@ def pick_lane_tile(T: int, B: int, reserve: int = 0) -> int:
     return max(_LANE, min(lb, B))
 
 
+def split5_weights(w):
+    """Host-side 3-term bf16 decomposition of f32 weights for the split5
+    scheme: w ~= w_hi + w_mid + w_lo with each term bf16-exact.
+
+    Combined with the EXACT 2-term bf16 split of the int16-valued input
+    (x = bf16(x) + (x - bf16(x)), both parts integers within bf16's exact
+    range), five single-pass bf16 MXU products reproduce the f32 dot to
+    better accuracy than Precision.HIGHEST's generic 6-pass scheme — the
+    dropped w_lo*x_lo term is bounded by 2^-17|w|*128 per tap (measured:
+    max|err| 0.016 vs f64, WORD2INT tie rate 8.8e-4 < HIGHEST's 1.25e-3;
+    experiments/split_accuracy.py).  w: f32[..., K, R] (or any shape);
+    returns bf16[3, ...].
+    """
+    import numpy as np
+    import ml_dtypes
+    w = np.asarray(w, dtype=np.float32)
+    hi = w.astype(ml_dtypes.bfloat16)
+    mid = (w - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    lo = (w - hi.astype(np.float32)
+          - mid.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return np.stack([hi, mid, lo])
+
+
+def _dot_scheme(w_ref, m, xf, scheme: str):
+    """One output block's matmul under the selected precision scheme.
+
+    scheme == "highest": f32 dot at Precision.HIGHEST (the Mosaic default
+    is a single bf16 pass with ~100 LSB of s16 error; HIGHEST's multi-pass
+    f32 scheme keeps the <=1 LSB contract).
+    scheme == "split5": 5 single-pass bf16 dots (see split5_weights);
+    w_ref holds the stacked [3, ...] bf16 planes.
+    """
+    if scheme == "split5":
+        xh = xf.astype(jnp.bfloat16)
+        xl = (xf - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+        d = functools.partial(jnp.dot,
+                              preferred_element_type=jnp.float32)
+        w_hi, w_mid, w_lo = w_ref[0, m], w_ref[1, m], w_ref[2, m]
+        return (d(w_hi, xh) + d(w_hi, xl) + d(w_mid, xh) + d(w_mid, xl)
+                + d(w_lo, xh))
+    return jnp.dot(w_ref[m], xf, precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32)
+
+
 def _word2int(x):
     """WORD2INT (arch.h:208-209) — see ops/convert.py; inlined here so the
     saturate/round fuses into the kernel epilogue on the VPU."""
@@ -207,7 +251,7 @@ def _v3_parts(off: int, S: int, K: int, H: int, j_case):
 
 
 def _kernel_v3(w_ref, h_ref, *rest, offs: tuple, S: int, K: int, H: int,
-               n_views: int, gp: int):
+               n_views: int, gp: int, scheme: str = "highest"):
     view_refs = rest[:n_views]
     o_ref = rest[n_views]
     scratch = rest[n_views + 1]
@@ -243,11 +287,9 @@ def _kernel_v3(w_ref, h_ref, *rest, offs: tuple, S: int, K: int, H: int,
                         # jc-case plans index views relative to period 0
                         # of the program (j == 0 when this fires)
                         assemble(plan, g)
-            # Precision.HIGHEST is load-bearing; see _kernel.
-            o_ref[g * P + m] = _word2int(jnp.dot(
-                w_ref[m], scratch[...],
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32))
+            # precision scheme is load-bearing; see _dot_scheme/_kernel.
+            o_ref[g * P + m] = _word2int(
+                _dot_scheme(w_ref, m, scratch[...], scheme))
 
 
 def _v3_periods_per_program(P: int) -> int:
@@ -258,20 +300,36 @@ def _v3_periods_per_program(P: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "S", "n_blocks",
-                                             "interpret", "lane_tile"))
+                                             "interpret", "lane_tile",
+                                             "scheme"))
 def resample_conv_tm_pallas_v3(hist, x, w, offsets: tuple, *, S: int,
                                n_blocks: int, interpret: bool = False,
-                               lane_tile: int | None = None):
+                               lane_tile: int | None = None,
+                               scheme: str = "highest"):
     """Concat-free phase-tiled launch.
 
     hist: int16[H, B]      H = round16(filt_len-1) trailing samples
     x:    int16[T_c, B]    T_c = (n_periods + V - 1) * S; real data in
                            rows [0, n_in), zeros in [n_in, n_in + K)
-    w:    f32[P, K, R]     built with origin_shift = H - (filt_len - 1)
+    w:    scheme "highest": f32[P, K, R]; scheme "split5":
+          bf16[3, P, K, R] pre-split by split5_weights.  Built with
+          origin_shift = H - (filt_len - 1).
     returns int16[n_blocks * R, B];  n_blocks // P must be a multiple of
     _v3_periods_per_program(P).
     """
-    P, K, R = w.shape
+    if scheme == "split5":
+        assert w.ndim == 4 and w.dtype == jnp.bfloat16, (w.shape, w.dtype)
+        _, P, K, R = w.shape
+        wT = w.transpose(0, 1, 3, 2)  # [3, P, R, K]
+        w_bytes = 3 * P * R * K * 2
+        w_spec = pl.BlockSpec((3, P, R, K), lambda i, j: (0, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        P, K, R = w.shape
+        wT = w.transpose(0, 2, 1).astype(jnp.float32)  # [P, R, K]
+        w_bytes = P * R * K * 4
+        w_spec = pl.BlockSpec((P, R, K), lambda i, j: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
     H, B = hist.shape
     T_c = x.shape[0]
     assert H % 16 == 0 and x.shape[1] == B
@@ -281,9 +339,6 @@ def resample_conv_tm_pallas_v3(hist, x, w, offsets: tuple, *, S: int,
     back = _v3_back(S, H)
     V = _v3_views(S, K, H, offsets) + (gp - 1)
     assert T_c >= (n_periods - back + V - (gp - 1)) * S, (T_c, n_periods, V)
-
-    wT = w.transpose(0, 2, 1).astype(jnp.float32)  # [P, R, K]
-    w_bytes = P * R * K * 4
 
     B_pad = -(-B // _LANE) * _LANE
     if B_pad != B:
@@ -319,11 +374,10 @@ def resample_conv_tm_pallas_v3(hist, x, w, offsets: tuple, *, S: int,
 
     y = pl.pallas_call(
         functools.partial(_kernel_v3, offs=tuple(offsets), S=S, K=K, H=H,
-                          n_views=V, gp=gp),
+                          n_views=V, gp=gp, scheme=scheme),
         grid=(n_lane_tiles, n_periods // gp),
         in_specs=[
-            pl.BlockSpec((P, R, K), lambda i, j: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            w_spec,
             pl.BlockSpec((H, lb), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
         ] + [view_spec(v) for v in range(V)],

@@ -281,3 +281,19 @@ def test_small_quantum_history_carry_tiled():
     got = np.concatenate([eng.process(frames), eng.flush()], axis=1)
     assert got.shape == ref.shape
     assert_lsb_close(got.ravel(), ref.ravel())
+
+
+def test_batched_split5_scheme_interpret():
+    """split5 (5 explicit bf16 MXU passes, the real-TPU tiled default) must
+    hold the same oracle-pinned LSB bound as HIGHEST; interpret mode vs the
+    dense engine (see experiments/split_accuracy.py for the error model)."""
+    S, C = 2, 1
+    frames = _random_frames(S, 4000, C, seed=31)
+    ref_eng = BatchedResampler(S, C, 44100, 48000, 7, use_pallas=False)
+    ref = np.concatenate([ref_eng.process(frames), ref_eng.flush()], axis=1)
+
+    eng = BatchedResampler(S, C, 44100, 48000, 7, use_pallas=True,
+                           pallas_interpret=True, scheme="split5")
+    got = np.concatenate([eng.process(frames), eng.flush()], axis=1)
+    assert got.shape == ref.shape
+    assert_lsb_close(got.ravel(), ref.ravel())
