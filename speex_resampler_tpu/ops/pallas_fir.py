@@ -77,24 +77,27 @@ def split5_weights(w):
     return np.stack([hi, mid, lo])
 
 
-def _dot_scheme(w_ref, m, xf, scheme: str):
+def _dot_scheme(plane, xf, scheme: str):
     """One output block's matmul under the selected precision scheme.
+
+    ``plane(p)`` returns the [R, K] weight operand for pass p — the full
+    f32 matrix for "highest" (p=0), the stacked bf16 planes for "split5"
+    (p in 0..2).
 
     scheme == "highest": f32 dot at Precision.HIGHEST (the Mosaic default
     is a single bf16 pass with ~100 LSB of s16 error; HIGHEST's multi-pass
     f32 scheme keeps the <=1 LSB contract).
-    scheme == "split5": 5 single-pass bf16 dots (see split5_weights);
-    w_ref holds the stacked [3, ...] bf16 planes.
+    scheme == "split5": 5 single-pass bf16 dots (see split5_weights).
     """
     if scheme == "split5":
         xh = xf.astype(jnp.bfloat16)
         xl = (xf - xh.astype(jnp.float32)).astype(jnp.bfloat16)
         d = functools.partial(jnp.dot,
                               preferred_element_type=jnp.float32)
-        w_hi, w_mid, w_lo = w_ref[0, m], w_ref[1, m], w_ref[2, m]
+        w_hi, w_mid, w_lo = plane(0), plane(1), plane(2)
         return (d(w_hi, xh) + d(w_hi, xl) + d(w_mid, xh) + d(w_mid, xl)
                 + d(w_lo, xh))
-    return jnp.dot(w_ref[m], xf, precision=jax.lax.Precision.HIGHEST,
+    return jnp.dot(plane(0), xf, precision=jax.lax.Precision.HIGHEST,
                    preferred_element_type=jnp.float32)
 
 
@@ -288,8 +291,10 @@ def _kernel_v3(w_ref, h_ref, *rest, offs: tuple, S: int, K: int, H: int,
                         # of the program (j == 0 when this fires)
                         assemble(plan, g)
             # precision scheme is load-bearing; see _dot_scheme/_kernel.
+            plane = ((lambda p: w_ref[p, m]) if scheme == "split5"
+                     else (lambda p: w_ref[m]))
             o_ref[g * P + m] = _word2int(
-                _dot_scheme(w_ref, m, scratch[...], scheme))
+                _dot_scheme(plane, scratch[...], scheme))
 
 
 def _v3_periods_per_program(P: int) -> int:
@@ -431,7 +436,8 @@ def _v4_hist_plans(R: int, K: int, H: int, num: int, den: int,
 
 def _kernel_v4(h_ref, w_hbm, x_hbm, o_ref, xbuf, wbuf, xsem, wsem, fsem, *,
                R: int, K: int, H: int, num: int, den: int, shift: int,
-               P: int, n_blocks: int, lb: int, hist_plans: tuple):
+               P: int, n_blocks: int, lb: int, hist_plans: tuple,
+               scheme: str = "highest"):
     i = pl.program_id(0)
     j = pl.program_id(1)
     col = i * lb
@@ -476,28 +482,39 @@ def _kernel_v4(h_ref, w_hbm, x_hbm, o_ref, xbuf, wbuf, xsem, wsem, fsem, *,
                 fix.wait()
             xbuf[slot, pl.ds(0, n_h), :] = h_ref[pl.ds(h0, n_h), :]
 
-    # Precision.HIGHEST is load-bearing; see _kernel.
-    o_ref[0] = _word2int(jnp.dot(
-        wbuf[slot], xbuf[slot].astype(jnp.float32),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32))
+    # precision scheme is load-bearing; see _dot_scheme/_kernel.
+    plane = ((lambda p: wbuf[slot, p]) if scheme == "split5"
+             else (lambda p: wbuf[slot]))
+    o_ref[0] = _word2int(
+        _dot_scheme(plane, xbuf[slot].astype(jnp.float32), scheme))
 
 
 @functools.partial(jax.jit, static_argnames=("n_blocks", "shift", "num",
                                              "den", "interpret",
-                                             "lane_tile"))
+                                             "lane_tile", "scheme"))
 def resample_conv_tm_pallas_v4(hist, x, w, *, n_blocks: int, shift: int,
                                num: int, den: int, interpret: bool = False,
-                               lane_tile: int | None = None):
+                               lane_tile: int | None = None,
+                               scheme: str = "highest"):
     """Streamed-weight launch for large-P configs.
 
     hist: int16[H, B];  x: int16[T_c, B] (real rows ++ >=K zero rows);
-    w: f32[P, R, K] PRE-TRANSPOSED cyclic set (stays in HBM; the caller
-    transposes once at build time — transposing per launch would re-stream
-    the whole set through HBM).
+    w: PRE-TRANSPOSED cyclic set (stays in HBM; the caller transposes once
+    at build time — transposing per launch would re-stream the whole set
+    through HBM): f32[P, R, K] for scheme "highest", bf16[P, 3, R, K]
+    (split5_weights planes, plane axis second so one DMA fetches a block's
+    three planes) for scheme "split5".
     returns int16[n_blocks * R, B].
     """
-    P, R, K = w.shape
+    if scheme == "split5":
+        assert w.ndim == 4 and w.dtype == jnp.bfloat16, (w.shape, w.dtype)
+        P, _, R, K = w.shape
+        w_scratch = pltpu.VMEM((2, 3, R, K), jnp.bfloat16)
+        w_scratch_bytes = 2 * 3 * R * K * 2
+    else:
+        P, R, K = w.shape
+        w_scratch = pltpu.VMEM((2, R, K), jnp.float32)
+        w_scratch_bytes = 2 * R * K * 4
     H, B = hist.shape
     assert H % 16 == 0 and x.shape[1] == B
     hist_plans = _v4_hist_plans(R, K, H, num, den, shift)
@@ -509,7 +526,8 @@ def resample_conv_tm_pallas_v4(hist, x, w, *, n_blocks: int, shift: int,
     if lane_tile is None:
         # widest tile that fits VMEM: the weight set is re-streamed from
         # HBM once per lane tile, so fewer tiles = less weight traffic
-        lb = (14 * 1024 * 1024 - 8 * R * K) // (4 * K + 4 * H + 4 * R)
+        lb = ((14 * 1024 * 1024 - w_scratch_bytes)
+              // (4 * K + 4 * H + 4 * R))
         lb = max(_LANE, (lb // _LANE) * _LANE)
     else:
         lb = lane_tile
@@ -524,7 +542,7 @@ def resample_conv_tm_pallas_v4(hist, x, w, *, n_blocks: int, shift: int,
     y = pl.pallas_call(
         functools.partial(_kernel_v4, R=R, K=K, H=H, num=num, den=den,
                           shift=shift, P=P, n_blocks=n_blocks, lb=lb,
-                          hist_plans=hist_plans),
+                          hist_plans=hist_plans, scheme=scheme),
         grid=(n_lane_tiles, n_blocks),
         in_specs=[
             pl.BlockSpec((H, lb), lambda i, j: (0, i),
@@ -537,7 +555,7 @@ def resample_conv_tm_pallas_v4(hist, x, w, *, n_blocks: int, shift: int,
         out_shape=jax.ShapeDtypeStruct((n_blocks, R, B_pad), jnp.int16),
         scratch_shapes=[
             pltpu.VMEM((2, K, lb), jnp.int16),
-            pltpu.VMEM((2, R, K), jnp.float32),
+            w_scratch,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),

@@ -215,6 +215,8 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
     if bspec.kernel == "streamed":
         assert use_pallas, "streamed geometry requires the Pallas kernel"
         from ..ops import pallas_fir
+        if scheme == "auto":
+            scheme = "split5" if not pallas_interpret else "highest"
         ptw = _tiled_weights(spec)
         assert (ptw.S, ptw.P, ptw.R) == (bspec.S, bspec.P, bspec.R)
         H = _hist_rows_tiled(N)
@@ -227,9 +229,15 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
         conv = functools.partial(pallas_fir.resample_conv_tm_pallas_v4,
                                  n_blocks=bspec.n_blocks, shift=shift,
                                  num=spec.num, den=spec.den,
-                                 interpret=pallas_interpret)
-        w_streamed = jnp.asarray(
-            np.ascontiguousarray(w_np.transpose(0, 2, 1)))
+                                 interpret=pallas_interpret, scheme=scheme)
+        if scheme == "split5":
+            # [3, P, K, R] -> [P, 3, R, K]: plane axis second so one DMA
+            # fetches a block's three planes contiguously
+            w_host = np.ascontiguousarray(
+                pallas_fir.split5_weights(w_np).transpose(1, 0, 3, 2))
+        else:
+            w_host = np.ascontiguousarray(w_np.transpose(0, 2, 1))
+        w_streamed = jnp.asarray(w_host)
 
         def step(hist, x, w):
             y = conv(hist, x, w)[:n_out]

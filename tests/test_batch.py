@@ -297,3 +297,19 @@ def test_batched_split5_scheme_interpret():
     got = np.concatenate([eng.process(frames), eng.flush()], axis=1)
     assert got.shape == ref.shape
     assert_lsb_close(got.ravel(), ref.ravel())
+
+
+def test_batched_split5_streamed_interpret():
+    """split5 on the streamed-weight v4 kernel (the real-TPU default for
+    large-P configs) holds the oracle-pinned LSB bound."""
+    S, C = 2, 1
+    frames = _random_frames(S, 30000, C, seed=33)
+    ref_eng = BatchedResampler(S, C, 48000, 44100, 10, use_pallas=False)
+    ref = np.concatenate([ref_eng.process(frames), ref_eng.flush()], axis=1)
+
+    eng = BatchedResampler(S, C, 48000, 44100, 10, use_pallas=True,
+                           pallas_interpret=True, scheme="split5")
+    assert eng.bspec.kernel == "streamed"
+    got = np.concatenate([eng.process(frames), eng.flush()], axis=1)
+    assert got.shape == ref.shape
+    assert_lsb_close(got.ravel(), ref.ravel())
