@@ -421,12 +421,12 @@ def resample_conv_tm_pallas_v3(hist, x, w, offsets: tuple, *, S: int,
 
 
 def _v4_hist_plans(R: int, K: int, H: int, num: int, den: int,
-                   shift: int) -> tuple:
+                   shift: int, f0: int = 0) -> tuple:
     """(block j, hist row h0, rows n_h) for blocks reaching into history."""
     plans = []
     j = 0
     while True:
-        av = (((j * R * num) // den + shift) // 16) * 16
+        av = (((f0 + j * R * num) // den + shift) // 16) * 16
         if av >= H:
             break
         plans.append((j, av, min(H - av, K)))
@@ -437,13 +437,13 @@ def _v4_hist_plans(R: int, K: int, H: int, num: int, den: int,
 def _kernel_v4(h_ref, w_hbm, x_hbm, o_ref, xbuf, wbuf, xsem, wsem, fsem, *,
                R: int, K: int, H: int, num: int, den: int, shift: int,
                P: int, n_blocks: int, lb: int, hist_plans: tuple,
-               scheme: str = "highest"):
+               f0: int = 0, scheme: str = "highest"):
     i = pl.program_id(0)
     j = pl.program_id(1)
     col = i * lb
 
     def x_dma(jj, slot):
-        t = jj * (R * num)
+        t = f0 + jj * (R * num)
         row = ((t // den + shift) // 16) * 16 - H
         row = pl.multiple_of(jnp.maximum(row, 0), 16)
         return pltpu.make_async_copy(
@@ -490,10 +490,11 @@ def _kernel_v4(h_ref, w_hbm, x_hbm, o_ref, xbuf, wbuf, xsem, wsem, fsem, *,
 
 
 @functools.partial(jax.jit, static_argnames=("n_blocks", "shift", "num",
-                                             "den", "interpret",
+                                             "den", "f0", "interpret",
                                              "lane_tile", "scheme"))
 def resample_conv_tm_pallas_v4(hist, x, w, *, n_blocks: int, shift: int,
-                               num: int, den: int, interpret: bool = False,
+                               num: int, den: int, f0: int = 0,
+                               interpret: bool = False,
                                lane_tile: int | None = None,
                                scheme: str = "highest"):
     """Streamed-weight launch for large-P configs.
@@ -517,7 +518,7 @@ def resample_conv_tm_pallas_v4(hist, x, w, *, n_blocks: int, shift: int,
         w_scratch_bytes = 2 * R * K * 4
     H, B = hist.shape
     assert H % 16 == 0 and x.shape[1] == B
-    hist_plans = _v4_hist_plans(R, K, H, num, den, shift)
+    hist_plans = _v4_hist_plans(R, K, H, num, den, shift, f0)
 
     B_pad = -(-B // _LANE) * _LANE
     if B_pad != B:
@@ -542,7 +543,7 @@ def resample_conv_tm_pallas_v4(hist, x, w, *, n_blocks: int, shift: int,
     y = pl.pallas_call(
         functools.partial(_kernel_v4, R=R, K=K, H=H, num=num, den=den,
                           shift=shift, P=P, n_blocks=n_blocks, lb=lb,
-                          hist_plans=hist_plans, scheme=scheme),
+                          hist_plans=hist_plans, f0=f0, scheme=scheme),
         grid=(n_lane_tiles, n_blocks),
         in_specs=[
             pl.BlockSpec((H, lb), lambda i, j: (0, i),

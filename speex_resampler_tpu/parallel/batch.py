@@ -120,10 +120,10 @@ def _hist_rows_tiled(filt_len: int) -> int:
     return -(-(filt_len - 1) // 16) * 16
 
 
-def _tiled_weights(spec: fd.FilterSpec):
+def _tiled_weights(spec: fd.FilterSpec, f0: int = 0):
     H = _hist_rows_tiled(spec.filt_len)
     return ph.build_phase_tiled_weights(
-        spec.phase_table, spec.num, spec.den, 0,
+        spec.phase_table, spec.num, spec.den, f0,
         origin_shift=H - (spec.filt_len - 1))
 
 
@@ -145,29 +145,29 @@ class BatchedStep:
 
 
 def _launch_geometry(spec: fd.FilterSpec, target_in_frames: int,
-                     use_pallas: bool = False) -> BatchSpec:
+                     use_pallas: bool = False, f0: int = 0) -> BatchSpec:
     if use_pallas:
         from ..ops import pallas_fir
-        ptw = _tiled_weights(spec)
+        ptw = _tiled_weights(spec, f0)
         if ptw.w.nbytes <= _MAX_TILED_WEIGHT_BYTES:
             gp = pallas_fir._v3_periods_per_program(ptw.P)
             n_periods = max(gp, round(target_in_frames / (ptw.S * gp)) * gp)
             return BatchSpec(num=spec.num, den=spec.den,
                              quality=spec.quality, filt_len=spec.filt_len,
-                             group=1, n_blocks=n_periods * ptw.P, f0=0,
+                             group=1, n_blocks=n_periods * ptw.P, f0=f0,
                              kernel="tiled", S=ptw.S, P=ptw.P, R=ptw.R)
         if ptw.w.nbytes <= _MAX_STREAMED_WEIGHT_BYTES:
             n_periods = max(1, round(target_in_frames / ptw.S))
             return BatchSpec(num=spec.num, den=spec.den,
                              quality=spec.quality, filt_len=spec.filt_len,
-                             group=1, n_blocks=n_periods * ptw.P, f0=0,
+                             group=1, n_blocks=n_periods * ptw.P, f0=f0,
                              kernel="streamed", S=ptw.S, P=ptw.P, R=ptw.R)
     group = fm.choose_group(spec.num, spec.den, spec.filt_len)
     stride = group * spec.num
     n_blocks = max(1, round(target_in_frames / stride))
     return BatchSpec(num=spec.num, den=spec.den, quality=spec.quality,
                      filt_len=spec.filt_len, group=group, n_blocks=n_blocks,
-                     f0=0)
+                     f0=f0)
 
 
 def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
@@ -217,7 +217,7 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
         from ..ops import pallas_fir
         if scheme == "auto":
             scheme = "split5" if not pallas_interpret else "highest"
-        ptw = _tiled_weights(spec)
+        ptw = _tiled_weights(spec, bspec.f0)
         assert (ptw.S, ptw.P, ptw.R) == (bspec.S, bspec.P, bspec.R)
         H = _hist_rows_tiled(N)
         shift = H - (N - 1)
@@ -228,7 +228,7 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
         chunk_rows = -(-(n_in + K_pad) // 16) * 16
         conv = functools.partial(pallas_fir.resample_conv_tm_pallas_v4,
                                  n_blocks=bspec.n_blocks, shift=shift,
-                                 num=spec.num, den=spec.den,
+                                 num=spec.num, den=spec.den, f0=bspec.f0,
                                  interpret=pallas_interpret, scheme=scheme)
         if scheme == "split5":
             # [3, P, K, R] -> [P, 3, R, K]: plane axis second so one DMA
@@ -251,7 +251,7 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
         from ..ops import pallas_fir
         if scheme == "auto":
             scheme = "split5" if not pallas_interpret else "highest"
-        ptw = _tiled_weights(spec)
+        ptw = _tiled_weights(spec, bspec.f0)
         assert (ptw.S, ptw.P, ptw.R) == (bspec.S, bspec.P, bspec.R)
         H = _hist_rows_tiled(N)
         n_periods = bspec.n_blocks // ptw.P
@@ -322,6 +322,14 @@ class BatchedResampler:
         to the launch quantum (a multiple of ``group*num``).
     mesh / axis : optional ``jax.sharding.Mesh`` and axis name to shard the
         lane axis across devices (B must divide evenly).
+
+    Stride semantics: the C API's in/out stride ints
+    (speex_resampler_set_input_stride, resample.c:1170-1188) exist so C
+    callers can walk interleaved or padded buffers.  Here the [S, n, C]
+    array layout subsumes them — ``process`` accepts ANY NumPy strided view
+    (a transposed buffer, every k-th channel of a wider recording, ...),
+    which is strictly more general than the C stride ints; the single-
+    stream ``ResamplerCore`` keeps the literal stride API for parity.
     """
 
     def __init__(self, n_streams: int, channels: int, in_rate: int,
@@ -344,31 +352,52 @@ class BatchedResampler:
         self.spec = fd.design_filter(in_rate // g, out_rate // g, quality)
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
-        self.bspec = _launch_geometry(self.spec, target_chunk_frames,
-                                      use_pallas=use_pallas)
         self.B = n_streams * channels
-
-        self._step = make_batched_step(self.spec, self.bspec,
-                                       use_pallas=use_pallas,
-                                       pallas_interpret=pallas_interpret,
-                                       mesh=mesh, axis=axis, scheme=scheme)
-        w = self._step.w
-        # time-major: lanes ride the minor (128-wide) axis on device
-        hist = jnp.zeros((self._step.hist_rows, self.B), dtype=jnp.int16)
+        self._target = target_chunk_frames
+        self._use_pallas = use_pallas
+        self._interpret = pallas_interpret
+        self._scheme = scheme
+        self._mesh, self._axis = mesh, axis
         if mesh is not None:
             P = jax.sharding.PartitionSpec
-            lane_sh = jax.sharding.NamedSharding(mesh, P(None, axis))
-            repl_sh = jax.sharding.NamedSharding(mesh, P())
-            hist = jax.device_put(hist, lane_sh)
-            w = jax.device_put(w, repl_sh)
-            self._lane_sharding = lane_sh
+            self._lane_sharding = jax.sharding.NamedSharding(
+                mesh, P(None, axis))
+            self._repl_sharding = jax.sharding.NamedSharding(mesh, P())
         else:
-            self._lane_sharding = None
+            self._lane_sharding = self._repl_sharding = None
+        self._f0 = 0
+        self._build_step(0)
+        # time-major: lanes ride the minor (128-wide) axis on device
+        hist = jnp.zeros((self._step.hist_rows, self.B), dtype=jnp.int16)
+        if self._lane_sharding is not None:
+            hist = jax.device_put(hist, self._lane_sharding)
         self._hist = hist
-        self._w = w
         self._skip = 0
         # staging buffer of not-yet-launched input frames, [*, B] host int16
         self._staged = np.zeros((0, self.B), dtype=np.int16)
+        # outputs banked by a partial drain (skip_zeros/flush), surfaced on
+        # the next process()/flush()
+        self._carry_out: list[np.ndarray] = []
+
+    def _build_step(self, f0: int) -> None:
+        """(Re)compile the steady-state step at fractional phase ``f0``.
+
+        The launch quantum (in/out frames) is f0-independent — only the
+        phase weights and the chunk-rows padding change — so staging and
+        readiness are unaffected.  Rebuilds happen on cold control-path
+        operations (mid-stream skip_zeros / flush continuation)."""
+        self.bspec = _launch_geometry(self.spec, self._target,
+                                      use_pallas=self._use_pallas, f0=f0)
+        self._step = make_batched_step(self.spec, self.bspec,
+                                       use_pallas=self._use_pallas,
+                                       pallas_interpret=self._interpret,
+                                       mesh=self._mesh, axis=self._axis,
+                                       scheme=self._scheme)
+        self._f0 = f0
+        w = self._step.w
+        if self._repl_sharding is not None:
+            w = jax.device_put(w, self._repl_sharding)
+        self._w = w
         # persistent launch slab (zero tail prepared once)
         self._slab = np.zeros((self._step.chunk_rows, self.B),
                               dtype=np.int16)
@@ -389,27 +418,65 @@ class BatchedResampler:
     def output_latency(self) -> int:
         return self.spec.output_latency
 
-    def skip_zeros(self):
-        """Swallow the leading filter delay (resample.c:1200-1206).
+    def _drain_partial(self) -> None:
+        """Consume the sub-quantum staged remainder EXACTLY, banking its
+        outputs into ``_carry_out`` and advancing the engine phase.
 
-        Setting ``last_sample = filt_len//2`` on zeroed history is exactly
-        equivalent to shifting the window origin right by k = filt_len//2:
-        the effective sample axis becomes zeros(N-1-k) ++ input.  The engine
-        realises that by feeding each lane's first k input frames into the
-        *tail of its history* instead of staging them (see ``process``).
-        Only valid before any input is staged, like a fresh reference state.
-        """
-        if self._staged.shape[0]:
-            raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
+        After feeding s frames, the closed form puts the stream at
+        t = f0 + m*num (m = producible outputs): next window origin
+        t//den >= s and fractional phase t % den.  The origin surplus
+        becomes a pending skip (absorbed from future input); a changed
+        fractional phase rebuilds the step with new f0 weights.  The true
+        filter history is recomputed host-side from (hist ++ staged), so
+        the launch's zero padding never contaminates state and the engine
+        can CONTINUE exactly after a drain."""
+        s = self._staged.shape[0]
+        if s == 0:
+            return
+        q = self.bspec.in_per_launch
+        staged, self._staged = self._staged, np.zeros((0, self.B),
+                                                      dtype=np.int16)
+        num, den = self.spec.num, self.spec.den
+        m = ph.producible_outputs(s, 0, self._f0, num, den)
+        hist_host = to_host(self._hist)
+        chunk = np.zeros((q, self.B), dtype=np.int16)
+        chunk[:s] = staged
+        _, y = self._launch(chunk)
+        if m:
+            self._carry_out.append(to_host(y)[:m])
+        hist = jnp.asarray(np.concatenate([hist_host, staged])[s:])
+        if self._lane_sharding is not None:
+            hist = jax.device_put(hist, self._lane_sharding)
+        self._hist = hist
+        t = self._f0 + m * num
+        self._skip = t // den - s     # pending origin advance, >= 0
+        if t % den != self._f0:
+            self._build_step(t % den)
+
+    def skip_zeros(self):
+        """Swallow the filter delay (resample.c:1200-1206) — allowed at ANY
+        time, like the C API.
+
+        Setting ``last_sample = filt_len//2`` shifts the next window origin
+        to k = filt_len//2 ahead of the current stream position.  The
+        engine first drains any sub-quantum staged remainder exactly (its
+        outputs surface on the next process()/flush()), then realises the
+        shift by feeding the next k input frames into the *tail of the
+        history* instead of staging them (see ``process``)."""
+        self._drain_partial()
         self._skip = self.spec.filt_len // 2
 
     def reset_mem(self):
         """resample.c:1208-1220."""
-        self._hist = jnp.zeros_like(self._hist)
+        if self._f0 != 0:
+            self._build_step(0)
+        self._hist = jnp.zeros((self._step.hist_rows, self.B),
+                               dtype=jnp.int16)
         if self._lane_sharding is not None:
             self._hist = jax.device_put(self._hist, self._lane_sharding)
         self._staged = np.zeros((0, self.B), dtype=np.int16)
         self._skip = 0
+        self._carry_out = []
 
     # -- checkpoint/resume (SURVEY.md §5: the state IS a checkpoint) -------
 
@@ -421,6 +488,8 @@ class BatchedResampler:
             "hist": to_host(self._hist),
             "staged": self._staged.copy(),
             "skip": self._skip,
+            "f0": self._f0,
+            "carry_out": [o.copy() for o in self._carry_out],
         }
 
     def load_state_dict(self, state: dict):
@@ -429,12 +498,16 @@ class BatchedResampler:
                 (state["in_rate"], state["out_rate"], state["quality"]) != \
                 (self.in_rate, self.out_rate, self.spec.quality):
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
+        if int(state.get("f0", 0)) != self._f0:
+            self._build_step(int(state["f0"]))
         hist = jnp.asarray(state["hist"])
         if self._lane_sharding is not None:
             hist = jax.device_put(hist, self._lane_sharding)
         self._hist = hist
         self._staged = np.array(state["staged"], dtype=np.int16)
         self._skip = int(state["skip"])
+        self._carry_out = [np.array(o, dtype=np.int16)
+                           for o in state.get("carry_out", [])]
 
     # -- processing ------------------------------------------------------
 
@@ -457,7 +530,7 @@ class BatchedResampler:
             x = x[k:]
             self._skip -= k
         self._staged = np.concatenate([self._staged, x], axis=0)
-        outs = []
+        outs, self._carry_out = self._carry_out, []
         q = self.bspec.in_per_launch
         while self._staged.shape[0] >= q:
             chunk, self._staged = self._staged[:q], self._staged[q:]
@@ -469,21 +542,15 @@ class BatchedResampler:
                                 frames)
 
     def flush(self) -> np.ndarray:
-        """Drain staged frames (zero-padded to one launch quantum); returns
-        only the outputs whose windows start within the real input, in
-        [S, m, C] layout."""
-        n = self._staged.shape[0]
-        if n == 0:
+        """Drain staged frames exactly; returns the outputs whose windows
+        start within the real input (plus any outputs banked by an earlier
+        skip_zeros drain), in [S, m, C] layout.  Unlike an end-of-stream
+        discard, the engine state stays exact: processing may continue."""
+        self._drain_partial()
+        outs, self._carry_out = self._carry_out, []
+        if not outs:
             return np.zeros((self.n_streams, 0, self.channels), np.int16)
-        q = self.bspec.in_per_launch
-        chunk = np.zeros((q, self.B), dtype=np.int16)
-        chunk[:n] = self._staged
-        self._staged = np.zeros((0, self.B), dtype=np.int16)
-        n_out = ph.producible_outputs(n, 0, self.bspec.f0, self.spec.num,
-                                      self.spec.den)
-        self._hist, y = self._launch(chunk)
-        out = to_host(y)[:n_out]
-        return self._lanes_to_frames(out)
+        return self._lanes_to_frames(np.concatenate(outs, axis=0))
 
     def _launch(self, chunk_np: np.ndarray):
         q = self.bspec.in_per_launch

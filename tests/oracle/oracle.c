@@ -144,14 +144,17 @@ static int cmd_process(int argc, char **argv)
  * JS wrapper's retained-output-buffer capacity semantics
  * (src/index.ts:80-95) under varying chunk sizes:
  *   chunks <channels> <in_rate> <out_rate> <quality> <in.pcm> <out.pcm>
- *          <schedule.txt>
+ *          <schedule.txt> [skip_at_chunk]
  * schedule.txt holds whitespace-separated frame counts; the schedule is
- * repeated cyclically until the input is consumed.
+ * repeated cyclically until the input is consumed.  skip_at_chunk >= 0
+ * calls speex_resampler_skip_zeros before that chunk index (the C API
+ * allows it at any time, resample.c:1200-1206).
  */
 static int cmd_chunks(int argc, char **argv)
 {
     if (argc < 8)
-        die("chunks <ch> <in> <out> <q> <in.pcm> <out.pcm> <schedule.txt>");
+        die("chunks <ch> <in> <out> <q> <in.pcm> <out.pcm> <schedule.txt> [skip_at]");
+    long skip_at = (argc > 8) ? atol(argv[8]) : -1;
     int channels = atoi(argv[1]);
     int in_rate = atoi(argv[2]);
     int out_rate = atoi(argv[3]);
@@ -196,6 +199,8 @@ static int cmd_chunks(int argc, char **argv)
     long out_buffer_size = 0;
     long si = 0;
     for (long pos = 0; pos < total_frames;) {
+        if (si == skip_at)
+            speex_resampler_skip_zeros(st);
         long frames = sched[si++ % n_sched];
         if (frames > total_frames - pos)
             frames = total_frames - pos;

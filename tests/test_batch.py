@@ -159,15 +159,18 @@ def test_batched_engine_pallas_interpret():
     assert got.shape == ref.shape
     assert_lsb_close(got.ravel(), ref.ravel())
 
-    # dense v1 pallas: same geometry as the XLA reference engine
-    spec = ref_eng.spec
-    bstep = make_batched_step(spec, ref_eng.bspec, use_pallas=True,
+    # dense v1 pallas: same geometry as a FRESH XLA reference engine
+    # (ref_eng.bspec was rebuilt at a new f0 by its continuation-exact
+    # flush above, so it no longer describes a from-reset launch)
+    ref1_eng = BatchedResampler(S, C, 44100, 48000, 7, use_pallas=False)
+    spec = ref1_eng.spec
+    bstep = make_batched_step(spec, ref1_eng.bspec, use_pallas=True,
                               pallas_interpret=True)
     hist = jnp.zeros((bstep.hist_rows, S * C), dtype=jnp.int16)
-    x = to_host(frames[:, :ref_eng.bspec.in_per_launch, 0].T)
+    x = to_host(frames[:, :ref1_eng.bspec.in_per_launch, 0].T)
+    n_in1 = ref1_eng.bspec.in_per_launch
     _, y1 = bstep.fn(hist, jnp.asarray(x), bstep.w)
-    ref1_eng = BatchedResampler(S, C, 44100, 48000, 7, use_pallas=False)
-    ref1 = ref1_eng.process(frames[:, :ref_eng.bspec.in_per_launch])
+    ref1 = ref1_eng.process(frames[:, :n_in1])
     assert_lsb_close(to_host(y1).T.reshape(S, -1, C).ravel(), ref1.ravel())
 
 
@@ -313,3 +316,97 @@ def test_batched_split5_streamed_interpret():
     got = np.concatenate([eng.process(frames), eng.flush()], axis=1)
     assert got.shape == ref.shape
     assert_lsb_close(got.ravel(), ref.ravel())
+
+
+def _skip_anytime_oracle(oracle, tmp_path, use_pallas, in_rate, out_rate,
+                         q, tag):
+    """Engine vs the oracle through the same chunk schedule with a
+    mid-stream skip_zeros.  Only bind-free ratios qualify: the JS capacity
+    rule floor(ceil(2n*r)/2) can fall one frame short of the producible
+    count for fractional r, making the oracle drop input the engine never
+    sees (that quirk is pinned separately by
+    test_capacity_grows_monotonically_like_js)."""
+    import subprocess
+    rng = np.random.default_rng(41)
+    n = 30000
+    pcm = (rng.integers(-32768, 32768, size=n) // 2).astype("<i2")
+    chunk_a = 7000  # NOT a multiple of any launch quantum
+
+    inp = tmp_path / f"in{tag}.pcm"
+    outp = tmp_path / f"out{tag}.pcm"
+    sched = tmp_path / f"s{tag}.txt"
+    inp.write_bytes(pcm.tobytes())
+    sched.write_text(f"{chunk_a}\n{n - chunk_a}\n")
+    subprocess.run([str(oracle), "chunks", "1", str(in_rate), str(out_rate),
+                    str(q), str(inp), str(outp), str(sched), "1"],
+                   check=True)
+    want = np.fromfile(outp, dtype=np.int16)
+    got = _engine_skip_run(pcm, use_pallas, in_rate, out_rate, q)
+    m = min(got.shape[0], want.shape[0])
+    assert abs(got.shape[0] - want.shape[0]) <= 1, (got.shape, want.shape)
+    assert_lsb_close(got[:m], want[:m])
+
+
+def _engine_skip_run(pcm, use_pallas, in_rate, out_rate, q, chunk_a=7000):
+    eng = BatchedResampler(1, 1, in_rate, out_rate, q,
+                           use_pallas=use_pallas,
+                           pallas_interpret=use_pallas)
+    frames = pcm.reshape(1, -1, 1)
+    parts = [eng.process(frames[:, :chunk_a])]
+    eng.skip_zeros()                      # staged remainder drains exactly
+    parts.append(eng.process(frames[:, chunk_a:]))
+    parts.append(eng.flush())
+    return np.concatenate(parts, axis=1).ravel()
+
+
+def _core_skip_run(pcm, in_rate, out_rate, q, chunk_a=7000):
+    core = ResamplerCore(1, in_rate, out_rate, in_rate, out_rate, q)
+    p1 = core.process_interleaved(pcm[:chunk_a].reshape(-1, 1), 10 ** 9)
+    core.skip_zeros()
+    p2 = core.process_interleaved(pcm[chunk_a:].reshape(-1, 1), 10 ** 9)
+    return np.concatenate([p1, p2]).ravel()
+
+
+def test_batched_skip_zeros_anytime(oracle, tmp_path):
+    """C allows skip_zeros at any point (resample.c:1200-1206); the engine
+    drains the staged remainder exactly, applies the origin jump, and
+    continues — oracle-pinned on a bind-free ratio, core-pinned (the core
+    mirrors C's last_sample = filt_len/2 line-for-line and is itself
+    oracle-golden) on fractional ratios that exercise the f0 rebuild."""
+    _skip_anytime_oracle(oracle, tmp_path, False, 24000, 48000, 5, "a")
+    rng = np.random.default_rng(43)
+    pcm = (rng.integers(-32768, 32768, size=30000) // 2).astype(np.int16)
+    for (ir, orr, q) in [(44100, 48000, 7), (44100, 24000, 5)]:
+        got = _engine_skip_run(pcm, False, ir, orr, q)
+        want = _core_skip_run(pcm, ir, orr, q)
+        m = min(got.shape[0], want.shape[0])
+        assert abs(got.shape[0] - want.shape[0]) <= 1
+        assert_lsb_close(got[:m], want[:m])
+
+
+def test_batched_skip_zeros_anytime_pallas_interpret():
+    """Same through the tiled Pallas kernel: the mid-stream f0 rebuild must
+    produce correct phase weights (interpret mode)."""
+    rng = np.random.default_rng(44)
+    pcm = (rng.integers(-32768, 32768, size=30000) // 2).astype(np.int16)
+    got = _engine_skip_run(pcm, True, 44100, 48000, 7)
+    want = _core_skip_run(pcm, 44100, 48000, 7)
+    m = min(got.shape[0], want.shape[0])
+    assert abs(got.shape[0] - want.shape[0]) <= 1
+    assert_lsb_close(got[:m], want[:m])
+
+
+def test_batched_accepts_strided_views():
+    """NumPy strided views subsume the C stride API (see class docstring):
+    feeding a non-contiguous view equals feeding its contiguous copy."""
+    S, C = 2, 2
+    wide = _random_frames(S, 4000, 2 * C, seed=51)   # 4-channel recording
+    view = wide[:, :, ::2]                           # channels 0 and 2
+    assert not view.flags["C_CONTIGUOUS"]
+
+    a_eng = BatchedResampler(S, C, 44100, 48000, 7, use_pallas=False)
+    a = np.concatenate([a_eng.process(view), a_eng.flush()], axis=1)
+    b_eng = BatchedResampler(S, C, 44100, 48000, 7, use_pallas=False)
+    b = np.concatenate([b_eng.process(np.ascontiguousarray(view)),
+                        b_eng.flush()], axis=1)
+    assert np.array_equal(a, b)
