@@ -165,6 +165,22 @@ class FleetResampler:
         self._hist = self._hist.at[:, lane:lane + c].set(jnp.int16(0))
         self._out[slot] = []
 
+    def seed_lane_history(self, slot: int, hist: np.ndarray) -> None:
+        """Adopt filter memory for one lane (inverse of lane_history):
+        hist [filt_len-1, C] becomes the lane's trailing history rows; the
+        extra alignment rows in front are never read by the kernels (the
+        earliest window starts at row hist_rows-(filt_len-1))."""
+        c = self.channels
+        N = self.spec.filt_len
+        hist = np.asarray(hist, dtype=np.int16)
+        if hist.shape != (N - 1, c):
+            raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
+        H = self._step.hist_rows
+        buf = np.zeros((H, c), dtype=np.int16)
+        buf[H - (N - 1):] = hist
+        lane = slot * c
+        self._hist = self._hist.at[:, lane:lane + c].set(jnp.asarray(buf))
+
     def lane_history(self, slot: int) -> np.ndarray:
         """One lane's filter history, [hist_rows, C] — valid for hand-off
         to ResamplerCore.import_history at launch-quantum boundaries (the

@@ -11,12 +11,14 @@ from readiness).  Streams attach and detach at any time:
     mf.push_bytes("a", pcm); mf.poll(); out = mf.pull_bytes("a")
     mf.end_stream("a")          # graceful drain; pull the tail, slot freed
 
-Rate/quality changes mid-stream use drain-and-restart semantics
-(``set_stream_rate``): the old config's output is drained exactly, then the
-stream continues under the new config with fresh filter state.  (The exact
-C-style magic-sample migration — carrying filter memory across the switch —
-lives on the single-stream ``ResamplerCore.set_rate``; a lockstep bucket
-cannot host per-stream divergent phase.)
+Rate/quality changes mid-stream are EXACT (``set_stream_rate``): the
+lane's filter memory migrates across the switch with the C magic-sample
+semantics (resample.c:727-782) via a ResamplerCore hand-off, and a short
+``_Transition`` serves the stream host-side until its fractional phase
+returns to 0 (at most den-1 outputs), at which point the lane re-seeds in
+the new config's bucket and batched serving resumes.  A lockstep bucket
+cannot host per-stream divergent phase, which is why the transition is
+per-stream and bounded rather than batched.
 
 Per-stream exactness: a stream that pushed ``n`` real frames ever gets
 exactly ``producible_outputs(n)`` output frames (the reference's one-shot
@@ -39,6 +41,100 @@ from .fleet import FleetResampler
 __all__ = ["MultiFleet"]
 
 
+_BIG = 10 ** 9
+
+
+class _Transition:
+    """Serves one stream through a ResamplerCore between the moment of a
+    rate/quality switch (filter state carried via magic-sample migration,
+    resample.c:727-782) and the first instant the stream is lockstep-
+    representable again: fractional phase 0, magic drained or staged, and
+    the pending window origin absorbed into history.
+
+    The phase returns to 0 after at most den-1 outputs (num and den are
+    coprime, so k0 = -frac * num^{-1} mod den); the output capacity
+    argument forces the core to stop EXACTLY there, and C's consumption
+    clamp (consumed = min(in_len, last_sample), resample.c:891-894) has a
+    closed form, so frames the core saw but did not consume are retained
+    here and re-fed later — nothing is dropped.
+    """
+
+    def __init__(self, core, channels: int):
+        self.core = core
+        self.C = channels
+        self.buf = np.zeros((0, channels), dtype=np.int16)
+        self.done = False
+        self.hist = None          # [filt_len-1, C] int16 once done
+        self.staged_rest = None   # [n, C] int16 once done
+
+    def _pending_frames(self) -> np.ndarray:
+        """Stashed magic samples as int16 frames (they are verbatim copies
+        of int16 input on the int path, so the cast is exact)."""
+        c = self.core
+        m = int(c.magic_samples[0])
+        if m == 0:
+            return np.zeros((0, self.C), dtype=np.int16)
+        return np.rint(np.stack([c._pending[ch] for ch in range(self.C)],
+                                axis=1)).astype(np.int16)
+
+    def feed(self, frames: np.ndarray) -> list[np.ndarray]:
+        self.buf = np.concatenate([self.buf, frames])
+        return self.pump()
+
+    def finish(self) -> list[np.ndarray]:
+        """End-of-stream: drain everything through the core exactly."""
+        out = self.core.process_interleaved(self.buf, _BIG)
+        self.buf = np.zeros((0, self.C), dtype=np.int16)
+        self.done = True
+        self.hist = self.staged_rest = None
+        return [out] if out.shape[0] else []
+
+    def pump(self) -> list[np.ndarray]:
+        outs = []
+        from ..ops import phase as ph
+        while not self.done:
+            c = self.core
+            num, den = c.num, c.den
+            f = int(c.samp_frac_num[0])
+            ls = int(c.last_sample[0])
+            m_cnt = int(c.magic_samples[0])
+            if f == 0:
+                # absorb the pending origin into history, stage the rest
+                pend = self._pending_frames()
+                stream = np.concatenate([pend, self.buf])
+                if stream.shape[0] < ls:
+                    break  # need more input to cover the origin jump
+                N = c.filt_len
+                hist = np.rint(np.stack([c._history[ch]
+                                         for ch in range(self.C)],
+                                        axis=1)).astype(np.int16)
+                hist = np.concatenate([hist, stream[:ls]])[ls:]
+                assert hist.shape == (N - 1, self.C)
+                self.hist = hist
+                self.staged_rest = stream[ls:]
+                self.buf = np.zeros((0, self.C), dtype=np.int16)
+                self.done = True
+                break
+            k0 = (-f * pow(num % den, -1, den)) % den
+            virtual_avail = m_cnt + self.buf.shape[0]
+            producible = ph.producible_outputs(virtual_avail, ls, f, num,
+                                               den)
+            m_out = min(k0, producible)
+            if m_out == 0:
+                break  # need more input
+            # enough virtual input to emit m_out outputs (window starts
+            # strictly below in_len), may exceed what the core consumes
+            origin_last = ls + (f + (m_out - 1) * num) // den
+            n_give = max(0, origin_last + 1 - m_cnt)
+            y = c.process_interleaved(self.buf[:n_give], m_out)
+            assert y.shape[0] == m_out, (y.shape, m_out)
+            outs.append(y)
+            consumed_virtual = min(n_give + m_cnt,
+                                   ls + (f + m_out * num) // den)
+            self.buf = self.buf[max(0, consumed_virtual - m_cnt):]
+        return outs
+
+
 @dataclasses.dataclass
 class _Stream:
     key: tuple
@@ -48,6 +144,7 @@ class _Stream:
     ended: bool = False
     limit_override: int | None = None
     carryover: np.ndarray | None = None  # output owed after slot release
+    transition: "_Transition | None" = None  # live rate-switch hand-off
 
 
 class _Bucket:
@@ -108,6 +205,15 @@ class MultiFleet:
         if st.ended:
             return
         st.ended = True
+        if st.transition is not None:
+            for y in st.transition.finish():
+                self._add_carryover(st, y)
+            st.transition = None
+            # the reserved slot was never activated; just release it
+            self._buckets[st.key].free.append(st.slot)
+            st.slot = None
+            self._gc(sid)
+            return
         if st.slot is None:
             return
         b = self._buckets[st.key]
@@ -135,6 +241,7 @@ class MultiFleet:
         stays pullable until collected."""
         st = self._stream(sid)
         st.ended = True
+        st.transition = None          # staged/buffered input is dropped
         if st.slot is not None:
             b = self._buckets[st.key]
             banked = b.fleet.pull(st.slot)
@@ -147,28 +254,96 @@ class MultiFleet:
 
     def set_stream_rate(self, sid, in_rate: int, out_rate: int,
                         quality: int | None = None):
-        """Drain-and-restart: finish the old config exactly, re-attach
-        under the new one.  Output the old config still owes is delivered
-        ahead of new-config output on the next pull."""
+        """EXACT mid-stream reconfiguration with filter-state carry — the
+        C semantics (speex_resampler_set_rate + set_quality on a live
+        state, resample.c:1107-1145, :727-782 magic migration).
+
+        The lane's filter memory hands off to a ResamplerCore at the
+        current position (state-faithful: lanes sit at last_sample =
+        samp_frac_num = 0 between launches); the staged remainder drains
+        under the OLD config, set_rate/set_quality migrate the state, and
+        a _Transition serves the stream through the core until its
+        fractional phase returns to 0 (at most den-1 outputs), whereupon
+        the lane re-seeds in the new bucket and batching resumes."""
         st = self._stream(sid)
+        if st.ended:
+            raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
         if quality is None:
             quality = st.key[2]
-        # Verify the new bucket can host the stream BEFORE tearing the old
-        # one down: a full target bucket would otherwise raise ALLOC_FAILED
-        # after the sid was popped, losing the drained carryover the old
-        # config still owed.  (Same-bucket switches are always safe: ending
-        # the stream frees its own slot.)
         new_key = (in_rate, out_rate, quality)
-        nb = self._buckets.get(new_key)
-        if (nb is not None and not nb.free
-                and not (new_key == st.key and st.slot is not None)):
+        # Reserve the destination slot BEFORE tearing the old lane down: a
+        # full target bucket must fail up front, not after the drain.
+        b_new = self._buckets.get(new_key)
+        if b_new is None:
+            b_new = _Bucket(FleetResampler(
+                self.capacity, self.channels, in_rate, out_rate, quality,
+                target_chunk_frames=self._target,
+                use_pallas=self._use_pallas,
+                pallas_interpret=self._interpret))
+            self._buckets[new_key] = b_new
+        frees_own = (new_key == st.key and st.slot is not None)
+        if not b_new.free and not frees_own:
             raise ResamplerError(ResamplerErrorCode.ALLOC_FAILED)
-        self.end_stream(sid)
-        tail = st.carryover
-        self._streams.pop(sid, None)
-        self.add_stream(sid, in_rate, out_rate, quality)
-        self._streams[sid].carryover = tail
+
+        C = self.channels
+        if st.transition is not None:
+            # switching again mid-transition: the core chains set_rate;
+            # release the previously reserved (still inactive) slot
+            core = st.transition.core
+            ob = self._buckets[st.key]
+            ob.free.append(st.slot)
+            st.slot = None
+        else:
+            b_old = self._buckets[st.key]
+            fleet = b_old.fleet
+            banked = fleet.pull(st.slot)
+            tail_in = fleet.peek_staged(st.slot)
+            hist = fleet.lane_history(st.slot)
+            ir0, or0, q0 = st.key
+            core = ResamplerCore(C, ir0, or0, ir0, or0, q0)
+            core.import_history(hist)
+            parts = [banked] if len(banked) else []
+            if len(tail_in):
+                parts.append(core.process_interleaved(tail_in, _BIG))
+            if parts:
+                self._add_carryover(st, np.concatenate(parts))
+            # free the old slot, then take the new one
+            b_old.fleet.set_slot_active(st.slot, False)
+            b_old.fleet._out[st.slot] = []
+            b_old.free.append(st.slot)
+            st.slot = None
+
+        core.set_rate(in_rate, out_rate)
+        core.set_quality(quality)
+        st.key = new_key
+        st.slot = b_new.free.pop()      # reserved; inactive until seeded
+        st.transition = _Transition(core, C)
+        for y in st.transition.pump():  # may complete immediately
+            self._add_carryover(st, y)
+        if st.transition.done:
+            self._seed_from_transition(st)
         return sid
+
+    def _add_carryover(self, st: _Stream, out: np.ndarray) -> None:
+        if out is None or not len(out):
+            return
+        st.carryover = (np.concatenate([st.carryover, out])
+                        if st.carryover is not None and len(st.carryover)
+                        else out)
+
+    def _seed_from_transition(self, st: _Stream) -> None:
+        tr = st.transition
+        st.transition = None
+        b = self._buckets[st.key]
+        b.fleet.set_slot_active(st.slot, True)
+        b.fleet.clear_slot(st.slot)
+        b.fleet.seed_lane_history(st.slot, tr.hist)
+        if tr.staged_rest is not None and tr.staged_rest.shape[0]:
+            b.fleet.push(st.slot, tr.staged_rest)
+        carry = getattr(st, "_byte_carry", b"")
+        if carry:
+            b.fleet.push_bytes(st.slot, carry)
+            st._byte_carry = b""
 
     # -- dataflow ------------------------------------------------------------
 
@@ -176,8 +351,15 @@ class MultiFleet:
         st = self._stream(sid)
         if st.ended:
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
-        b = self._buckets[st.key]
         frames = np.asarray(frames, dtype=np.int16)
+        if st.transition is not None:
+            for y in st.transition.feed(frames):
+                self._add_carryover(st, y)
+            if st.transition.done:
+                self._seed_from_transition(st)
+            st.real_frames += frames.shape[0]
+            return
+        b = self._buckets[st.key]
         b.fleet.push(st.slot, frames)
         st.real_frames += frames.shape[0]
 
@@ -185,6 +367,16 @@ class MultiFleet:
         st = self._stream(sid)
         if st.ended:
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
+        if st.transition is not None:
+            # frame-align here (the stager's carry is bypassed mid-switch)
+            carry = getattr(st, "_byte_carry", b"") + data
+            fb = self.channels * 2
+            keep = len(carry) - len(carry) % fb
+            st._byte_carry = carry[keep:]
+            frames = np.frombuffer(carry[:keep], dtype="<i2").reshape(
+                -1, self.channels)
+            self.push(sid, frames)
+            return frames.shape[0]
         n = self._buckets[st.key].fleet.push_bytes(st.slot, data)
         st.real_frames += n
         return n

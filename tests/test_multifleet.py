@@ -97,6 +97,9 @@ def test_multifleet_exact_output_budget():
 
 
 def test_multifleet_set_stream_rate():
+    """Mid-stream switch now carries filter state exactly (C magic-sample
+    semantics): the MultiFleet stream must match a single ResamplerCore
+    driven through the same set_rate/set_quality switch."""
     rng = np.random.default_rng(3)
     mf = MultiFleet(channels=1, capacity_per_bucket=2,
                     target_chunk_frames=512, use_pallas=False)
@@ -108,10 +111,54 @@ def test_multifleet_set_stream_rate():
     mf.push("s", xb)
     mf.flush()
     got = mf.pull("s")
-    ref = np.concatenate([_ref(xa, 24000, 48000, 5),
-                          _ref(xb, 44100, 48000, 7)])
-    assert got.shape == ref.shape
-    assert_lsb_close(got.ravel(), ref.ravel())
+
+    core = ResamplerCore(1, 24000, 48000, 24000, 48000, 5)
+    p1 = core.process_interleaved(xa, 10 ** 9)
+    core.set_rate(44100, 48000)
+    core.set_quality(7)
+    p2 = core.process_interleaved(xb, 10 ** 9)
+    ref = np.concatenate([p1, p2])
+    m = min(got.shape[0], ref.shape[0])
+    assert abs(got.shape[0] - ref.shape[0]) <= 1, (got.shape, ref.shape)
+    assert_lsb_close(got[:m].ravel(), ref[:m].ravel())
+
+
+def test_multifleet_set_stream_rate_oracle(oracle, tmp_path):
+    """Oracle-pinned: the reference core driven through the identical
+    switch scenario (oracle setrate emits per-chunk counts + PCM)."""
+    import subprocess
+    rng = np.random.default_rng(7)
+    n, chunk, switch_at = 8000, 1000, 3
+    pcm = (rng.integers(-20000, 20000, size=n)).astype("<i2")
+    inp = tmp_path / "in.pcm"
+    outp = tmp_path / "out.pcm"
+    inp.write_bytes(pcm.tobytes())
+    subprocess.run([str(oracle), "setrate", "1", "24000", "48000", "5",
+                    str(chunk), str(inp), str(outp), str(switch_at),
+                    "44100", "48000", "7"], check=True)
+    raw = outp.read_bytes()
+    want, off = [], 0
+    while off < len(raw):
+        cnt = int.from_bytes(raw[off:off + 4], "little")
+        off += 4
+        want.append(np.frombuffer(raw[off:off + cnt * 2], dtype="<i2"))
+        off += cnt * 2
+    want = np.concatenate(want)
+
+    mf = MultiFleet(channels=1, capacity_per_bucket=2,
+                    target_chunk_frames=512, use_pallas=False)
+    mf.add_stream("s", 24000, 48000, 5)
+    frames = pcm.reshape(-1, 1)
+    for i in range(0, n, chunk):
+        if i // chunk == switch_at:
+            mf.set_stream_rate("s", 44100, 48000, 7)
+        mf.push("s", frames[i:i + chunk])
+        mf.poll()
+    mf.flush()
+    got = mf.pull("s").ravel()
+    m = min(got.shape[0], want.shape[0])
+    assert abs(got.shape[0] - want.shape[0]) <= 2, (got.shape, want.shape)
+    assert_lsb_close(got[:m], want[:m])
 
 
 def test_multifleet_remove_stream_drops_staged():
