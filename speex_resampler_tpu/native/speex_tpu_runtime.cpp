@@ -13,15 +13,108 @@
 // Pure C ABI for ctypes; no dependencies beyond libc++.  All hot loops are
 // time-blocked to keep the strided slab writes cache-resident.
 //
-// Build: g++ -O3 -shared -fPIC -std=c++17 -o libspeex_tpu_runtime.so \
+// Build: g++ -O3 -shared -fPIC -std=c++17 -pthread -o libspeex_tpu_runtime.so \
 //            speex_tpu_runtime.cpp
 
+#include <atomic>
+#include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#include <functional>
+#include <memory>
+#include <mutex>
 #include <new>
+#include <thread>
 #include <vector>
 
 namespace {
+
+// Fork-join pool over index ranges.  The caller's thread participates, so
+// a pool of size n uses n-1 workers; size <= 1 (or tiny jobs) runs inline
+// with zero overhead — important on single-vCPU hosts where the serial
+// path IS the fast path.  Work is distributed by an atomic chunk counter
+// so uneven per-range cost (e.g. ragged per-stream flush) load-balances.
+class Pool {
+ public:
+  explicit Pool(int n_threads) {
+    const int extra = n_threads - 1;
+    for (int i = 0; i < extra; ++i)
+      workers_.emplace_back([this] { WorkerLoop(); });
+  }
+
+  ~Pool() {
+    {
+      std::lock_guard<std::mutex> lk(m_);
+      stop_ = true;
+      ++gen_;
+    }
+    cv_.notify_all();
+    for (auto& w : workers_) w.join();
+  }
+
+  int size() const { return static_cast<int>(workers_.size()) + 1; }
+
+  // Run fn over [0, total) split into grain-sized chunks across the pool.
+  void Run(long total, long grain,
+           const std::function<void(long, long)>& fn) {
+    if (total <= 0) return;
+    if (workers_.empty() || total <= grain) {
+      fn(0, total);
+      return;
+    }
+    {
+      std::lock_guard<std::mutex> lk(m_);
+      fn_ = &fn;
+      total_ = total;
+      grain_ = grain;
+      next_.store(0, std::memory_order_relaxed);
+      remaining_ = static_cast<int>(workers_.size()) + 1;
+      ++gen_;
+    }
+    cv_.notify_all();
+    Participate();
+    std::unique_lock<std::mutex> lk(m_);
+    done_cv_.wait(lk, [this] { return remaining_ == 0; });
+    fn_ = nullptr;
+  }
+
+ private:
+  void Participate() {
+    const std::function<void(long, long)>& fn = *fn_;
+    const long total = total_, grain = grain_;
+    long i;
+    while ((i = next_.fetch_add(grain, std::memory_order_relaxed)) < total) {
+      const long hi = (i + grain < total) ? i + grain : total;
+      fn(i, hi);
+    }
+    std::lock_guard<std::mutex> lk(m_);
+    if (--remaining_ == 0) done_cv_.notify_all();
+  }
+
+  void WorkerLoop() {
+    uint64_t seen = 0;
+    for (;;) {
+      {
+        std::unique_lock<std::mutex> lk(m_);
+        cv_.wait(lk, [&] { return stop_ || gen_ != seen; });
+        if (stop_) return;
+        seen = gen_;
+        if (!fn_) continue;  // stop-gen bump or already-finished job
+      }
+      Participate();
+    }
+  }
+
+  std::vector<std::thread> workers_;
+  std::mutex m_;
+  std::condition_variable cv_, done_cv_;
+  const std::function<void(long, long)>* fn_ = nullptr;
+  long total_ = 0, grain_ = 0;
+  std::atomic<long> next_{0};
+  int remaining_ = 0;
+  uint64_t gen_ = 0;
+  bool stop_ = false;
+};
 
 // Contiguous FIFO: amortized O(1) push/consume with front compaction.
 struct Fifo {
@@ -56,6 +149,7 @@ struct Runtime {
   std::vector<Fifo> fifo;                 // per stream, interleaved frames
   std::vector<std::vector<uint8_t>> carry;  // per stream, byte-alignment
   std::vector<uint8_t> active;            // slots excluded from lockstep
+  std::unique_ptr<Pool> pool;             // gather/scatter parallelism
 };
 
 constexpr long kTimeTile = 16;  // rows per cache-blocked transpose tile
@@ -115,7 +209,18 @@ void* srt_create(int n_streams, int channels, long n_in_per_launch) {
   rt->fifo.resize(static_cast<size_t>(n_streams));
   rt->carry.resize(static_cast<size_t>(n_streams));
   rt->active.assign(static_cast<size_t>(n_streams), 1);
+  unsigned hw = std::thread::hardware_concurrency();
+  rt->pool.reset(new Pool(hw > 1 ? static_cast<int>(hw) : 1));
   return rt;
+}
+
+// Resize the gather/scatter thread pool (default: hardware concurrency).
+// Returns the effective size.  Not safe concurrently with fill/unpack.
+int srt_set_threads(void* h, int n) {
+  auto* rt = static_cast<Runtime*>(h);
+  if (!rt || n < 1) return -1;
+  rt->pool.reset(new Pool(n));
+  return rt->pool->size();
 }
 
 void srt_destroy(void* h) { delete static_cast<Runtime*>(h); }
@@ -217,8 +322,11 @@ int srt_fill_launch(void* h, int16_t* out) {
   for (int s = 0; s < rt->n_streams; ++s)
     srcs[static_cast<size_t>(s)] = rt->active[static_cast<size_t>(s)]
         ? rt->fifo[static_cast<size_t>(s)].front() : nullptr;
-  gather_rows(rt->n_streams, C, B, 0, n_in, out,
-              [&](int s) { return srcs[static_cast<size_t>(s)]; });
+  // parallel over time-row ranges: each range's slab writes are disjoint
+  rt->pool->Run(n_in, /*grain=*/256, [&](long t0, long t1) {
+    gather_rows(rt->n_streams, C, B, t0, t1, out,
+                [&](int s) { return srcs[static_cast<size_t>(s)]; });
+  });
   for (int s = 0; s < rt->n_streams; ++s)
     if (rt->active[static_cast<size_t>(s)])
       rt->fifo[static_cast<size_t>(s)].consume(
@@ -245,14 +353,20 @@ long srt_fill_flush(void* h, int16_t* out, long* staged_out) {
   }
   if (mx == 0) return 0;
   std::memset(out, 0, static_cast<size_t>(n_in) * B * 2);
-  for (int s = 0; s < rt->n_streams; ++s) {
-    const long f = staged_out[s];
-    const int16_t* src = rt->fifo[static_cast<size_t>(s)].front();
-    int16_t* dst = out + static_cast<long>(s) * C;
-    for (long t = 0; t < f; ++t, src += C, dst += B)
-      std::memcpy(dst, src, static_cast<size_t>(C) * 2);
-    rt->fifo[static_cast<size_t>(s)].consume(static_cast<size_t>(f) * C);
-  }
+  // parallel over streams (column ranges are disjoint; ragged per-stream
+  // lengths load-balance through the pool's chunked work queue)
+  rt->pool->Run(rt->n_streams, /*grain=*/8, [&](long s0, long s1) {
+    for (long s = s0; s < s1; ++s) {
+      const long f = staged_out[s];
+      const int16_t* src = rt->fifo[static_cast<size_t>(s)].front();
+      int16_t* dst = out + s * C;
+      for (long t = 0; t < f; ++t, src += C, dst += B)
+        std::memcpy(dst, src, static_cast<size_t>(C) * 2);
+    }
+  });
+  for (int s = 0; s < rt->n_streams; ++s)
+    rt->fifo[static_cast<size_t>(s)].consume(
+        static_cast<size_t>(staged_out[s]) * C);
   return mx;
 }
 
@@ -295,7 +409,12 @@ void srt_unpack_all(void* h, const int16_t* y, long n_out, int16_t* dst) {
   auto* rt = static_cast<Runtime*>(h);
   const int C = rt->channels;
   const long B = rt->B;
-  for (long t0 = 0; t0 < n_out; t0 += kTimeTile) {
+  // parallel over time-row tiles; each worker range walks whole tiles so
+  // per-stream destination runs stay contiguous
+  rt->pool->Run((n_out + kTimeTile - 1) / kTimeTile, /*grain=*/16,
+                [&](long k0, long k1) {
+  for (long t0 = k0 * kTimeTile; t0 < k1 * kTimeTile && t0 < n_out;
+       t0 += kTimeTile) {
     const long t1 = (t0 + kTimeTile < n_out) ? t0 + kTimeTile : n_out;
     if (C == 2) {
       for (int s = 0; s < rt->n_streams; ++s) {
@@ -322,6 +441,7 @@ void srt_unpack_all(void* h, const int16_t* y, long n_out, int16_t* dst) {
       }
     }
   }
+  });
 }
 
 }  // extern "C"

@@ -72,6 +72,8 @@ def load_runtime():
     lib.srt_staged.argtypes = [c.c_void_p, c.c_void_p]
     lib.srt_set_active.restype = c.c_int
     lib.srt_set_active.argtypes = [c.c_void_p, c.c_int, c.c_int]
+    lib.srt_set_threads.restype = c.c_int
+    lib.srt_set_threads.argtypes = [c.c_void_p, c.c_int]
     lib.srt_ready_launches.restype = c.c_long
     lib.srt_ready_launches.argtypes = [c.c_void_p]
     lib.srt_fill_launch.restype = c.c_int
@@ -139,6 +141,14 @@ class NativeStager:
         zero-filled in launch slabs (dynamic fleet occupancy)."""
         if self._lib.srt_set_active(self._h, stream, int(active)) != 0:
             raise ValueError(f"bad stream {stream}")
+
+    def set_threads(self, n: int) -> int:
+        """Resize the gather/scatter thread pool (default: hardware
+        concurrency); returns the effective size."""
+        r = int(self._lib.srt_set_threads(self._h, int(n)))
+        if r < 0:
+            raise ValueError(f"bad thread count {n}")
+        return r
 
     def staged(self) -> np.ndarray:
         out = np.zeros(self.n_streams, dtype=np.int64)
@@ -238,6 +248,9 @@ class PyStager:
         if not active:
             self._bufs[stream] = np.zeros((0, self.channels), dtype=np.int16)
             self._carry[stream] = b""
+
+    def set_threads(self, n: int) -> int:
+        return 1  # NumPy fallback is single-threaded
 
     def staged(self) -> np.ndarray:
         return np.array([b.shape[0] for b in self._bufs], dtype=np.int64)

@@ -137,3 +137,40 @@ def test_fleet_push_bytes_roundtrip():
         m = min(got.shape[0], ref.shape[0])
         assert m > 0
         assert_lsb_close(got[:m].ravel(), ref[:m].ravel())
+
+
+def test_native_stager_threads_match_serial():
+    """The gather/scatter thread pool must be output-invariant across pool
+    sizes (the 1-vCPU CI host can't show scaling; correctness is what this
+    pins — disjoint row/stream ranges, atomic chunk distribution)."""
+    from speex_resampler_tpu.runtime.native import (NativeStager,
+                                                    load_runtime)
+    if load_runtime() is None:
+        pytest.skip("native runtime unavailable")
+    S, C, N_IN = 37, 2, 513   # deliberately non-round
+    rng = np.random.default_rng(77)
+    frames = rng.integers(-32768, 32768, size=(S, N_IN, C)).astype(np.int16)
+    y = rng.integers(-32768, 32768, size=(700, S * C)).astype(np.int16)
+
+    ref_slab = ref_unpack = None
+    for n in (1, 2, 4, 7):
+        st = NativeStager(S, C, N_IN)
+        assert st.set_threads(n) == n
+        for s in range(S):
+            st.push(s, frames[s])
+        slab = st.fill_launch()
+        unp = st.unpack_all(y)
+        if ref_slab is None:
+            ref_slab, ref_unpack = slab, unp
+        else:
+            assert np.array_equal(slab, ref_slab)
+            assert np.array_equal(unp, ref_unpack)
+        # ragged flush path
+        for s in range(S):
+            st.push(s, frames[s][: (s * 13) % N_IN])
+        fslab, staged = st.fill_flush()
+        if n == 1:
+            ref_flush = (fslab.copy() if fslab is not None else None, staged)
+        else:
+            assert np.array_equal(fslab, ref_flush[0])
+            assert np.array_equal(staged, ref_flush[1])
