@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -75,6 +76,33 @@ def split5_weights(w):
     lo = (w - hi.astype(np.float32)
           - mid.astype(np.float32)).astype(ml_dtypes.bfloat16)
     return np.stack([hi, mid, lo])
+
+
+def int8_weights(w, sw: int = 23):
+    """Host-side int8 digit-plane decomposition (ops/int8_planes.py) for
+    the "int8" scheme: returns (planes int8[3, P, K, R], bias f32[P, R],
+    scales tuple, err_bound).  The MXU runs int8 dots at 2x the bf16 rate,
+    so 6 int8 passes cost ~3 bf16-equivalents vs split5's 5 — measured
+    ~1.35x faster at the flagship geometry (experiments/v5_int8_bench.py),
+    reversing the round-1 Mosaic slow-path finding.  Exactness is gated by
+    the decomposition's rigorous worst-case certificate."""
+    from . import int8_planes
+    pl8 = int8_planes.decompose(np.asarray(w, dtype=np.float32), sw=sw)
+    return (pl8.planes, pl8.bias, tuple(float(s) for s in pl8.scales),
+            float(pl8.err_bound))
+
+
+def _dot_int8(plane, bias_row, u32, scales):
+    """6 int8 MXU dots: x = 256*(x>>8) + ((x&255)-128) + 128; the +128
+    lands in the precomputed per-output bias (128 * sum of weights)."""
+    xh = (u32 >> 8).astype(jnp.int8)
+    xl = ((u32 & 255) - 128).astype(jnp.int8)
+    acc = jnp.zeros((plane(0).shape[0], u32.shape[1]), jnp.float32)
+    for d in range(3):
+        ah = jnp.dot(plane(d), xh, preferred_element_type=jnp.int32)
+        al = jnp.dot(plane(d), xl, preferred_element_type=jnp.int32)
+        acc += (256 * ah + al).astype(jnp.float32) * scales[d]
+    return acc + bias_row[:, None]
 
 
 def _dot_scheme(plane, xf, scheme: str):
@@ -253,8 +281,15 @@ def _v3_parts(off: int, S: int, K: int, H: int, j_case):
     return tuple(parts)
 
 
-def _kernel_v3(w_ref, h_ref, *rest, offs: tuple, S: int, K: int, H: int,
-               n_views: int, gp: int, scheme: str = "highest"):
+def _kernel_v3(w_ref, *rest, offs: tuple, S: int, K: int, H: int,
+               n_views: int, gp: int, scheme: str = "highest",
+               scales: tuple = ()):
+    if scheme == "int8":
+        b_ref, h_ref = rest[0], rest[1]
+        rest = rest[2:]
+    else:
+        b_ref, h_ref = None, rest[0]
+        rest = rest[1:]
     view_refs = rest[:n_views]
     o_ref = rest[n_views]
     scratch = rest[n_views + 1]
@@ -266,7 +301,7 @@ def _kernel_v3(w_ref, h_ref, *rest, offs: tuple, S: int, K: int, H: int,
         for src, s0, dst, ln in parts:
             ref = h_ref if src == "h" else view_refs[src + extra_views]
             scratch[pl.ds(dst, ln), :] = ref[pl.ds(s0, ln), :].astype(
-                jnp.float32)
+                scratch.dtype)
 
     for g in range(gp):
         # global period index = j*gp + g; view v holds chunk block
@@ -291,10 +326,15 @@ def _kernel_v3(w_ref, h_ref, *rest, offs: tuple, S: int, K: int, H: int,
                         # of the program (j == 0 when this fires)
                         assemble(plan, g)
             # precision scheme is load-bearing; see _dot_scheme/_kernel.
-            plane = ((lambda p: w_ref[p, m]) if scheme == "split5"
-                     else (lambda p: w_ref[m]))
-            o_ref[g * P + m] = _word2int(
-                _dot_scheme(plane, scratch[...], scheme))
+            if scheme == "int8":
+                acc = _dot_int8(lambda p: w_ref[p, m], b_ref[m],
+                                scratch[...].astype(jnp.int32), scales)
+                o_ref[g * P + m] = _word2int(acc)
+            else:
+                plane = ((lambda p: w_ref[p, m]) if scheme == "split5"
+                         else (lambda p: w_ref[m]))
+                o_ref[g * P + m] = _word2int(
+                    _dot_scheme(plane, scratch[...], scheme))
 
 
 def _v3_periods_per_program(P: int) -> int:
@@ -306,35 +346,49 @@ def _v3_periods_per_program(P: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("offsets", "S", "n_blocks",
                                              "interpret", "lane_tile",
-                                             "scheme"))
+                                             "scheme", "scales"))
 def resample_conv_tm_pallas_v3(hist, x, w, offsets: tuple, *, S: int,
                                n_blocks: int, interpret: bool = False,
                                lane_tile: int | None = None,
-                               scheme: str = "highest"):
+                               scheme: str = "highest",
+                               scales: tuple = ()):
     """Concat-free phase-tiled launch.
 
     hist: int16[H, B]      H = round16(filt_len-1) trailing samples
     x:    int16[T_c, B]    T_c = (n_periods + V - 1) * S; real data in
                            rows [0, n_in), zeros in [n_in, n_in + K)
     w:    scheme "highest": f32[P, K, R]; scheme "split5":
-          bf16[3, P, K, R] pre-split by split5_weights.  Built with
+          bf16[3, P, K, R] pre-split by split5_weights; scheme "int8":
+          (planes int8[3, P, K, R], bias f32[P, R]) from int8_weights,
+          with the digit ``scales`` passed statically.  Built with
           origin_shift = H - (filt_len - 1).
     returns int16[n_blocks * R, B];  n_blocks // P must be a multiple of
     _v3_periods_per_program(P).
     """
-    if scheme == "split5":
+    bias = None
+    if scheme == "int8":
+        planes, bias = w
+        assert planes.dtype == jnp.int8, planes.dtype
+        _, P, K, R = planes.shape
+        wT = planes.transpose(0, 1, 3, 2)  # [3, P, R, K]
+        w_bytes = 3 * P * R * K + P * R * 4
+        w_specs = [pl.BlockSpec((3, P, R, K), lambda i, j: (0, 0, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((P, R), lambda i, j: (0, 0),
+                                memory_space=pltpu.VMEM)]
+    elif scheme == "split5":
         assert w.ndim == 4 and w.dtype == jnp.bfloat16, (w.shape, w.dtype)
         _, P, K, R = w.shape
         wT = w.transpose(0, 1, 3, 2)  # [3, P, R, K]
         w_bytes = 3 * P * R * K * 2
-        w_spec = pl.BlockSpec((3, P, R, K), lambda i, j: (0, 0, 0, 0),
-                              memory_space=pltpu.VMEM)
+        w_specs = [pl.BlockSpec((3, P, R, K), lambda i, j: (0, 0, 0, 0),
+                                memory_space=pltpu.VMEM)]
     else:
         P, K, R = w.shape
         wT = w.transpose(0, 2, 1).astype(jnp.float32)  # [P, R, K]
         w_bytes = P * R * K * 4
-        w_spec = pl.BlockSpec((P, R, K), lambda i, j: (0, 0, 0),
-                              memory_space=pltpu.VMEM)
+        w_specs = [pl.BlockSpec((P, R, K), lambda i, j: (0, 0, 0),
+                                memory_space=pltpu.VMEM)]
     H, B = hist.shape
     T_c = x.shape[0]
     assert H % 16 == 0 and x.shape[1] == B
@@ -377,26 +431,27 @@ def resample_conv_tm_pallas_v3(hist, x, w, offsets: tuple, *, S: int,
                                         n_chunk_blocks - 1), i),
             memory_space=pltpu.VMEM)
 
+    scratch_dtype = jnp.int16 if scheme == "int8" else jnp.float32
+    operands = ((wT, bias) if scheme == "int8" else (wT,))
     y = pl.pallas_call(
         functools.partial(_kernel_v3, offs=tuple(offsets), S=S, K=K, H=H,
-                          n_views=V, gp=gp, scheme=scheme),
+                          n_views=V, gp=gp, scheme=scheme, scales=scales),
         grid=(n_lane_tiles, n_periods // gp),
-        in_specs=[
-            w_spec,
+        in_specs=w_specs + [
             pl.BlockSpec((H, lb), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
         ] + [view_spec(v) for v in range(V)],
         out_specs=pl.BlockSpec((P * gp, R, lb), lambda i, j: (j, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_blocks, R, B_pad), jnp.int16),
-        scratch_shapes=[pltpu.VMEM((K, lb), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((K, lb), scratch_dtype)],
         cost_estimate=pl.CostEstimate(
             flops=2 * n_blocks * R * K * B_pad,
             bytes_accessed=(H + n_periods * S) * B_pad * 2
             + n_blocks * R * B_pad * 2,
             transcendentals=0),
         interpret=interpret,
-    )(wT, hist, *([x] * V))
+    )(*operands, hist, *([x] * V))
 
     y = y.reshape(n_blocks * R, B_pad)
     return y[:, :B] if B_pad != B else y

@@ -56,6 +56,12 @@ __all__ = ["BatchedResampler", "make_batched_step", "BatchSpec"]
 _MAX_TILED_WEIGHT_BYTES = 4 * 1024 * 1024
 _MAX_STREAMED_WEIGHT_BYTES = 256 * 1024 * 1024
 
+# int8 scheme gates (worst-case certificate, s16 LSB): "auto" picks int8
+# below the first; an explicit scheme="int8" is refused above the second
+# (the <=1 LSB max-error contract itself would be at risk near 0.5).
+_INT8_CERT_GATE = 0.20
+_INT8_CERT_MAX = 0.35
+
 
 @dataclasses.dataclass(frozen=True)
 class BatchSpec:
@@ -249,9 +255,17 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
     if bspec.kernel == "tiled":
         assert use_pallas, "tiled geometry requires the Pallas kernel"
         from ..ops import pallas_fir
-        if scheme == "auto":
-            scheme = "split5" if not pallas_interpret else "highest"
         ptw = _tiled_weights(spec, bspec.f0)
+        if scheme == "auto":
+            if pallas_interpret:
+                scheme = "highest"
+            else:
+                # int8 (6 MXU passes at 2x rate ~ 3 bf16-equivalents) wins
+                # over split5 when its rigorous worst-case certificate
+                # leaves comfortable margin inside the <=1 LSB / tie-rate
+                # contract; otherwise fall back to split5.
+                err = pallas_fir.int8_weights(ptw.w)[3]
+                scheme = "int8" if err <= _INT8_CERT_GATE else "split5"
         assert (ptw.S, ptw.P, ptw.R) == (bspec.S, bspec.P, bspec.R)
         H = _hist_rows_tiled(N)
         n_periods = bspec.n_blocks // ptw.P
@@ -260,18 +274,27 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
         V = pallas_fir._v3_views(ptw.S, ptw.K, H, ptw.offsets) + (gp - 1)
         chunk_rows = (n_periods - back + V - (gp - 1) + (gp - 1)) * ptw.S
         offsets = tuple(int(o) for o in ptw.offsets)
+        scales = ()
+        if scheme == "int8":
+            planes, bias, scales, err = pallas_fir.int8_weights(ptw.w)
+            if err > _INT8_CERT_MAX:
+                raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
+            w_host = (jnp.asarray(planes), jnp.asarray(bias))
+        elif scheme == "split5":
+            w_host = jnp.asarray(pallas_fir.split5_weights(ptw.w))
+        else:
+            w_host = jnp.asarray(ptw.w)
         conv = functools.partial(pallas_fir.resample_conv_tm_pallas_v3,
                                  offsets=offsets, S=ptw.S,
                                  n_blocks=bspec.n_blocks,
-                                 interpret=pallas_interpret, scheme=scheme)
-        w_host = (pallas_fir.split5_weights(ptw.w) if scheme == "split5"
-                  else ptw.w)
+                                 interpret=pallas_interpret, scheme=scheme,
+                                 scales=scales)
 
         def step(hist, x, w):
             y = conv(hist, x, w)[:n_out]
             return _next_hist(hist, x, n_in, H), y
 
-        return BatchedStep(fn=_wrap(step), w=jnp.asarray(w_host),
+        return BatchedStep(fn=_wrap(step), w=w_host,
                            hist_rows=H, chunk_rows=chunk_rows,
                            zero_tail=ptw.K)
 

@@ -410,3 +410,29 @@ def test_batched_accepts_strided_views():
     b = np.concatenate([b_eng.process(np.ascontiguousarray(view)),
                         b_eng.flush()], axis=1)
     assert np.array_equal(a, b)
+
+
+def test_batched_int8_scheme_interpret():
+    """int8 digit-plane scheme (6 int8 MXU passes, certificate-gated; the
+    real-TPU auto choice for short/medium filters) holds the oracle-pinned
+    LSB bound; interpret mode vs the dense engine."""
+    for (ir, orr, q) in [(44100, 48000, 7), (24000, 48000, 5)]:
+        S, C = 2, 1
+        frames = _random_frames(S, 4000, C, seed=61 + q)
+        ref_eng = BatchedResampler(S, C, ir, orr, q, use_pallas=False)
+        ref = np.concatenate([ref_eng.process(frames), ref_eng.flush()],
+                             axis=1)
+        eng = BatchedResampler(S, C, ir, orr, q, use_pallas=True,
+                               pallas_interpret=True, scheme="int8")
+        got = np.concatenate([eng.process(frames), eng.flush()], axis=1)
+        assert got.shape == ref.shape
+        assert_lsb_close(got.ravel(), ref.ravel())
+
+
+def test_int8_certificate_gate():
+    """Explicit int8 on a config whose certificate exceeds the hard cap
+    must be refused (the <=1 LSB contract would be at risk)."""
+    from speex_resampler_tpu.utils.errors import ResamplerError
+    with pytest.raises(ResamplerError):
+        BatchedResampler(1, 1, 48000, 8000, 4, use_pallas=True,
+                         pallas_interpret=True, scheme="int8")
