@@ -389,6 +389,9 @@ class BatchedResampler:
         else:
             self._lane_sharding = self._repl_sharding = None
         self._f0 = 0
+        # compiled steps keyed by f0 (mid-stream skip_zeros/flush rebuilds
+        # revisit phases; keep a few so repeat switches don't re-trace)
+        self._step_cache: dict = {}
         self._build_step(0)
         # time-major: lanes ride the minor (128-wide) axis on device
         hist = jnp.zeros((self._step.hist_rows, self.B), dtype=jnp.int16)
@@ -409,21 +412,30 @@ class BatchedResampler:
         phase weights and the chunk-rows padding change — so staging and
         readiness are unaffected.  Rebuilds happen on cold control-path
         operations (mid-stream skip_zeros / flush continuation)."""
-        self.bspec = _launch_geometry(self.spec, self._target,
-                                      use_pallas=self._use_pallas, f0=f0)
-        self._step = make_batched_step(self.spec, self.bspec,
-                                       use_pallas=self._use_pallas,
-                                       pallas_interpret=self._interpret,
-                                       mesh=self._mesh, axis=self._axis,
-                                       scheme=self._scheme)
+        cached = self._step_cache.get(f0)
+        if cached is None:
+            bspec = _launch_geometry(self.spec, self._target,
+                                     use_pallas=self._use_pallas, f0=f0)
+            step = make_batched_step(self.spec, bspec,
+                                     use_pallas=self._use_pallas,
+                                     pallas_interpret=self._interpret,
+                                     mesh=self._mesh, axis=self._axis,
+                                     scheme=self._scheme)
+            w = step.w
+            if self._repl_sharding is not None:
+                w = jax.device_put(w, self._repl_sharding)
+            # persistent launch slabs, double-buffered: with the depth-1
+            # dispatch pipeline in process(), slab i may still be
+            # transferring while slab i+1 is filled (see FleetResampler)
+            slabs = [np.zeros((step.chunk_rows, self.B), dtype=np.int16)
+                     for _ in range(2)]
+            cached = (bspec, step, w, slabs)
+            if len(self._step_cache) >= 4:
+                self._step_cache.pop(next(iter(self._step_cache)))
+            self._step_cache[f0] = cached
+        self.bspec, self._step, self._w, self._slabs = cached
+        self._slab_i = 0
         self._f0 = f0
-        w = self._step.w
-        if self._repl_sharding is not None:
-            w = jax.device_put(w, self._repl_sharding)
-        self._w = w
-        # persistent launch slab (zero tail prepared once)
-        self._slab = np.zeros((self._step.chunk_rows, self.B),
-                              dtype=np.int16)
 
     # -- geometry --------------------------------------------------------
 
@@ -555,10 +567,18 @@ class BatchedResampler:
         self._staged = np.concatenate([self._staged, x], axis=0)
         outs, self._carry_out = self._carry_out, []
         q = self.bspec.in_per_launch
+        pending = None
         while self._staged.shape[0] >= q:
+            # depth-1 dispatch pipeline: launch i+1 is dispatched before
+            # launch i's result is pulled, overlapping device compute with
+            # host readback (dispatch is async; to_host blocks properly)
             chunk, self._staged = self._staged[:q], self._staged[q:]
             self._hist, y = self._launch(chunk)
-            outs.append(to_host(y))
+            if pending is not None:
+                outs.append(to_host(pending))
+            pending = y
+        if pending is not None:
+            outs.append(to_host(pending))
         if outs:
             return self._from_lanes(np.concatenate(outs, axis=0), frames)
         return self._from_lanes(np.zeros((0, self.B), dtype=np.int16),
@@ -576,20 +596,21 @@ class BatchedResampler:
         return self._lanes_to_frames(np.concatenate(outs, axis=0))
 
     def _launch(self, chunk_np: np.ndarray):
+        """Async-dispatch one launch; the result is NOT yet ready — readers
+        must go through utils.host.to_host (np.asarray on a not-yet-ready
+        array can deadlock on some backends)."""
         q = self.bspec.in_per_launch
         if chunk_np.shape[0] == self._step.chunk_rows:
             slab = chunk_np
         else:
             assert chunk_np.shape[0] == q, chunk_np.shape
-            self._slab[:q] = chunk_np
-            slab = self._slab
+            slab = self._slabs[self._slab_i]
+            self._slab_i ^= 1
+            slab[:q] = chunk_np
         x = jnp.asarray(slab)
         if self._lane_sharding is not None:
             x = jax.device_put(x, self._lane_sharding)
-        hist, y = self._step.fn(self._hist, x, self._w)
-        # np.asarray on a not-yet-ready donated-jit output can deadlock on
-        # some backends; readiness must be explicit before host conversion
-        return hist, y.block_until_ready()
+        return self._step.fn(self._hist, x, self._w)
 
     # -- layout helpers ---------------------------------------------------
     # lane l = stream*channels + channel; time-major [n, B] on device.

@@ -416,6 +416,66 @@ class MultiFleet:
         return {str(k): b.fleet.stats.as_dict()
                 for k, b in self._buckets.items()}
 
+    # -- checkpoint/resume (SURVEY.md §5: the state IS a checkpoint) ---------
+
+    def state_dict(self) -> dict:
+        """Full serializable snapshot of the heterogeneous serving state:
+        every bucket's fleet (filter history, staging, occupancy), every
+        stream's bookkeeping/carryover, and live rate-switch transitions
+        (their core state + buffered input)."""
+        return {
+            "channels": self.channels, "capacity": self.capacity,
+            "buckets": {k: {"fleet": b.fleet.state_dict(),
+                            "free": list(b.free)}
+                        for k, b in self._buckets.items()},
+            "streams": {sid: {
+                "key": st.key, "slot": st.slot,
+                "real_frames": st.real_frames, "pulled": st.pulled,
+                "ended": st.ended,
+                "carryover": (None if st.carryover is None
+                              else st.carryover.copy()),
+                "byte_carry": getattr(st, "_byte_carry", b""),
+                "transition": (None if st.transition is None else {
+                    "core": st.transition.core.state_dict(),
+                    "buf": st.transition.buf.copy(),
+                }),
+            } for sid, st in self._streams.items()},
+        }
+
+    def load_state_dict(self, state: dict) -> None:
+        if (state["channels"], state["capacity"]) != (self.channels,
+                                                      self.capacity):
+            raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
+        self._buckets = {}
+        for k, bs in state["buckets"].items():
+            ir, orr, q = k
+            b = _Bucket(FleetResampler(
+                self.capacity, self.channels, ir, orr, q,
+                target_chunk_frames=self._target,
+                use_pallas=self._use_pallas,
+                pallas_interpret=self._interpret))
+            # load AFTER _Bucket's blanket deactivation: it restores the
+            # true per-slot occupancy along with histories and staging
+            b.fleet.load_state_dict(bs["fleet"])
+            b.free = list(bs["free"])
+            self._buckets[k] = b
+        self._streams = {}
+        for sid, ss in state["streams"].items():
+            st = _Stream(key=tuple(ss["key"]), slot=ss["slot"],
+                         real_frames=int(ss["real_frames"]),
+                         pulled=int(ss["pulled"]), ended=bool(ss["ended"]))
+            if ss["carryover"] is not None:
+                st.carryover = np.array(ss["carryover"], dtype=np.int16)
+            if ss["byte_carry"]:
+                st._byte_carry = bytes(ss["byte_carry"])
+            if ss["transition"] is not None:
+                core = ResamplerCore(self.channels, 1, 1, 1, 1, 4)
+                core.load_state_dict(ss["transition"]["core"])
+                tr = _Transition(core, self.channels)
+                tr.buf = np.array(ss["transition"]["buf"], dtype=np.int16)
+                st.transition = tr
+            self._streams[sid] = st
+
     # -- internals -----------------------------------------------------------
 
     def _stream(self, sid) -> _Stream:

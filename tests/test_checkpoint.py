@@ -149,3 +149,50 @@ def test_fleet_checkpoint_preserves_active_flags_and_config():
                          use_pallas=False)
     with pytest.raises(ResamplerError):
         bad.load_state_dict(state)
+
+
+def test_multifleet_checkpoint_roundtrip():
+    """Snapshot the whole heterogeneous serving state mid-everything — one
+    stream mid-rate-switch-transition, one streaming normally — restore
+    into a fresh MultiFleet, continue both, and match the uninterrupted
+    run."""
+    from speex_resampler_tpu.runtime.multifleet import MultiFleet
+
+    rng = np.random.default_rng(17)
+    xa = (rng.integers(-20000, 20000, size=(2500, 1))).astype(np.int16)
+    xb = (rng.integers(-20000, 20000, size=(2500, 1))).astype(np.int16)
+
+    def drive(mf, until_snapshot_only=False):
+        mf.add_stream("u", 24000, 48000, 5)
+        mf.add_stream("v", 44100, 48000, 7)
+        mf.push("u", xa)
+        mf.push("v", xa)
+        mf.poll()
+        mf.set_stream_rate("u", 44100, 48000, 7)  # enters transition
+        if until_snapshot_only:
+            return None
+        return finish(mf)
+
+    def finish(mf):
+        mf.push("u", xb)
+        mf.push("v", xb)
+        mf.flush()
+        return {s: mf.pull(s) for s in ("u", "v")}
+
+    ref_mf = MultiFleet(channels=1, capacity_per_bucket=2,
+                        target_chunk_frames=512, use_pallas=False)
+    want = drive(ref_mf)
+
+    mf1 = MultiFleet(channels=1, capacity_per_bucket=2,
+                     target_chunk_frames=512, use_pallas=False)
+    drive(mf1, until_snapshot_only=True)
+    blob = pickle.dumps(mf1.state_dict())
+
+    mf2 = MultiFleet(channels=1, capacity_per_bucket=2,
+                     target_chunk_frames=512, use_pallas=False)
+    mf2.load_state_dict(pickle.loads(blob))
+    got = finish(mf2)
+    for s in ("u", "v"):
+        assert got[s].shape == want[s].shape, (s, got[s].shape,
+                                               want[s].shape)
+        assert np.array_equal(got[s], want[s]), s
