@@ -112,6 +112,7 @@ def measure_config(in_rate, out_rate, quality, *, use_pallas,
     per_launch = slopes[len(slopes) // 2]
     return {
         "kernel": bspec.kernel,
+        "scheme": bstep.scheme,
         "launch_ms": round(per_launch * 1e3, 4),
         "launch_ms_runs": [round(v * 1e3, 4) for v in slopes],
         "out_samples_per_sec": round(bspec.out_per_launch * B / per_launch),
@@ -155,8 +156,8 @@ def main():
         m = measure_config(ir, orate, q, use_pallas=use_pallas)
         ref = oracle_cpu_baseline(ir, orate, q)
         sweep[f"{ir}->{orate} q{q}"] = {
-            k: m[k] for k in ("kernel", "launch_ms", "out_samples_per_sec",
-                              "in_samples_per_sec")
+            k: m[k] for k in ("kernel", "scheme", "launch_ms",
+                              "out_samples_per_sec", "in_samples_per_sec")
         } | {"vs_reference_cpu": (
             round(m["out_samples_per_sec"]
                   / ref["out_samples_per_sec"], 1)
@@ -188,6 +189,7 @@ def main():
             "backend": backend,
             "device_kind": jax.devices()[0].device_kind,
             "kernel": flag["kernel"],
+            "scheme": flag["scheme"],
             "launch_ms": flag["launch_ms"],
             "launch_ms_runs": flag["launch_ms_runs"],
             "input_samples_per_sec": flag["in_samples_per_sec"],

@@ -148,6 +148,7 @@ class BatchedStep:
     hist_rows: int
     chunk_rows: int
     zero_tail: int
+    scheme: str = "highest"   # resolved matmul precision scheme
 
 
 def _launch_geometry(spec: fd.FilterSpec, target_in_frames: int,
@@ -250,7 +251,8 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
             return _next_hist(hist, x, n_in, H), y
 
         return BatchedStep(fn=_wrap(step), w=w_streamed, hist_rows=H,
-                           chunk_rows=chunk_rows, zero_tail=K_pad)
+                           chunk_rows=chunk_rows, zero_tail=K_pad,
+                           scheme=scheme)
 
     if bspec.kernel == "tiled":
         assert use_pallas, "tiled geometry requires the Pallas kernel"
@@ -296,7 +298,7 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
 
         return BatchedStep(fn=_wrap(step), w=w_host,
                            hist_rows=H, chunk_rows=chunk_rows,
-                           zero_tail=ptw.K)
+                           zero_tail=ptw.K, scheme=scheme)
 
     stride = bspec.stride
     w_np = ph.build_padded_weights(spec.phase_table, spec.num, spec.den,
