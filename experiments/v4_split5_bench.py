@@ -10,7 +10,7 @@ B = 2048
 spec = fd.design_filter(160, 147, 10)
 bspec = pb._launch_geometry(spec, 9408, use_pallas=True)
 assert bspec.kernel == "streamed", bspec
-for scheme in ("highest", "split5"):
+for scheme in ("highest", "split5", "int8", "split5", "int8"):
     bstep = pb.make_batched_step(spec, bspec, use_pallas=True, scheme=scheme)
     rng = np.random.default_rng(0)
     x_np = np.zeros((bstep.chunk_rows, B), dtype=np.int16)

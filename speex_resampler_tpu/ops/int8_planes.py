@@ -51,29 +51,31 @@ class Int8Planes:
         return self.planes.shape[0]
 
 
-def decompose(w: np.ndarray, sw: int = 22) -> Int8Planes:
+def decompose(w: np.ndarray, sw: int = 22,
+              digits: int = _DIGITS) -> Int8Planes:
     """w: f32[P, K, R] tiled weights (ops/phase.build_phase_tiled_weights).
 
-    Balanced digits require |round(w·2^sw)| ≤ 128·(256² + 256 + 1); sw is
-    lowered until that holds.
+    Balanced digits require |round(w·2^sw)| ≤ 128·Σ_d 256^d; sw is lowered
+    until that holds.  More digits admit a larger sw (finer quantization,
+    tighter certificate) at the cost of 2 extra MXU passes per digit.
     """
     w64 = w.astype(np.float64)
-    cap = 128 * (256 ** 2 + 256 + 1)
+    cap = 128 * sum(256 ** d for d in range(digits))
     while sw > 0 and np.abs(np.round(w64 * 2.0 ** sw)).max() > cap:
         sw -= 1
     W = np.round(w64 * 2.0 ** sw).astype(np.int64)
 
-    planes = np.empty((_DIGITS,) + w.shape, dtype=np.int8)
+    planes = np.empty((digits,) + w.shape, dtype=np.int8)
     t = W.copy()
-    for d in range(_DIGITS):
+    for d in range(digits):
         dig = ((t + 128) % 256) - 128
         planes[d] = dig.astype(np.int8)
         t = (t - dig) >> 8
-    assert not t.any(), "weight exceeded 3-digit balanced capacity"
+    assert not t.any(), f"weight exceeded {digits}-digit balanced capacity"
 
     # exact bias for the +128 shift of the low input digit
     bias = (128.0 * W.sum(axis=1) / 2.0 ** sw).astype(np.float32)  # [P, R]
-    scales = np.array([2.0 ** (8 * d - sw) for d in range(_DIGITS)],
+    scales = np.array([2.0 ** (8 * d - sw) for d in range(digits)],
                       dtype=np.float32)
 
     # --- rigorous error certificate (worst case over all int16 inputs) ---
@@ -85,7 +87,7 @@ def decompose(w: np.ndarray, sw: int = 22) -> Int8Planes:
     #     f32 relative error 2^-24 (0 if |I_d| < 2^24, but bound uniformly),
     #     scaled by 2^{8d-sw}.
     conv = 0.0
-    for d in range(_DIGITS):
+    for d in range(digits):
         colsum = np.abs(planes[d].astype(np.float64)).sum(axis=1).max()
         imax = 32896.0 * colsum
         if imax >= 2.0 ** 24:

@@ -78,27 +78,41 @@ def split5_weights(w):
     return np.stack([hi, mid, lo])
 
 
-def int8_weights(w, sw: int = 23):
+def int8_weights(w, digits: int = 3):
     """Host-side int8 digit-plane decomposition (ops/int8_planes.py) for
-    the "int8" scheme: returns (planes int8[3, P, K, R], bias f32[P, R],
+    the "int8" scheme: returns (planes int8[D, P, K, R], bias f32[P, R],
     scales tuple, err_bound).  The MXU runs int8 dots at 2x the bf16 rate,
-    so 6 int8 passes cost ~3 bf16-equivalents vs split5's 5 — measured
-    ~1.35x faster at the flagship geometry (experiments/v5_int8_bench.py),
-    reversing the round-1 Mosaic slow-path finding.  Exactness is gated by
-    the decomposition's rigorous worst-case certificate."""
+    so 2*D int8 passes cost ~D bf16-equivalents vs split5's 5 — measured
+    ~1.35x faster at the flagship geometry for D=3
+    (experiments/v5_int8_bench.py), reversing the round-1 Mosaic slow-path
+    finding.  D=4 (8 passes, still under split5) tightens the worst-case
+    certificate ~17x for long filters.  Exactness is gated by the
+    decomposition's rigorous certificate."""
     from . import int8_planes
-    pl8 = int8_planes.decompose(np.asarray(w, dtype=np.float32), sw=sw)
+    sw = {3: 23, 4: 31}.get(digits, 23)
+    pl8 = int8_planes.decompose(np.asarray(w, dtype=np.float32), sw=sw,
+                                digits=digits)
     return (pl8.planes, pl8.bias, tuple(float(s) for s in pl8.scales),
             float(pl8.err_bound))
 
 
+def int8_weights_auto(w, gate: float):
+    """Smallest digit count whose certificate clears ``gate`` (3 then 4);
+    None if even 4 digits cannot."""
+    for digits in (3, 4):
+        planes = int8_weights(w, digits=digits)
+        if planes[3] <= gate:
+            return planes
+    return None
+
+
 def _dot_int8(plane, bias_row, u32, scales):
-    """6 int8 MXU dots: x = 256*(x>>8) + ((x&255)-128) + 128; the +128
+    """2*D int8 MXU dots: x = 256*(x>>8) + ((x&255)-128) + 128; the +128
     lands in the precomputed per-output bias (128 * sum of weights)."""
     xh = (u32 >> 8).astype(jnp.int8)
     xl = ((u32 & 255) - 128).astype(jnp.int8)
     acc = jnp.zeros((plane(0).shape[0], u32.shape[1]), jnp.float32)
-    for d in range(3):
+    for d in range(len(scales)):
         ah = jnp.dot(plane(d), xh, preferred_element_type=jnp.int32)
         al = jnp.dot(plane(d), xl, preferred_element_type=jnp.int32)
         acc += (256 * ah + al).astype(jnp.float32) * scales[d]
@@ -369,10 +383,10 @@ def resample_conv_tm_pallas_v3(hist, x, w, offsets: tuple, *, S: int,
     if scheme == "int8":
         planes, bias = w
         assert planes.dtype == jnp.int8, planes.dtype
-        _, P, K, R = planes.shape
-        wT = planes.transpose(0, 1, 3, 2)  # [3, P, R, K]
-        w_bytes = 3 * P * R * K + P * R * 4
-        w_specs = [pl.BlockSpec((3, P, R, K), lambda i, j: (0, 0, 0, 0),
+        D, P, K, R = planes.shape
+        wT = planes.transpose(0, 1, 3, 2)  # [D, P, R, K]
+        w_bytes = D * P * R * K + P * R * 4
+        w_specs = [pl.BlockSpec((D, P, R, K), lambda i, j: (0, 0, 0, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((P, R), lambda i, j: (0, 0),
                                 memory_space=pltpu.VMEM)]
@@ -489,10 +503,17 @@ def _v4_hist_plans(R: int, K: int, H: int, num: int, den: int,
     return tuple(plans)
 
 
-def _kernel_v4(h_ref, w_hbm, x_hbm, o_ref, xbuf, wbuf, xsem, wsem, fsem, *,
-               R: int, K: int, H: int, num: int, den: int, shift: int,
-               P: int, n_blocks: int, lb: int, hist_plans: tuple,
-               f0: int = 0, scheme: str = "highest"):
+def _kernel_v4(*refs, R: int, K: int, H: int, num: int, den: int,
+               shift: int, P: int, n_blocks: int, lb: int,
+               hist_plans: tuple, f0: int = 0, scheme: str = "highest",
+               scales: tuple = ()):
+    if scheme == "int8":
+        (h_ref, b_ref, w_hbm, x_hbm, o_ref,
+         xbuf, wbuf, xsem, wsem, fsem) = refs
+    else:
+        b_ref = None
+        (h_ref, w_hbm, x_hbm, o_ref,
+         xbuf, wbuf, xsem, wsem, fsem) = refs
     i = pl.program_id(0)
     j = pl.program_id(1)
     col = i * lb
@@ -538,31 +559,48 @@ def _kernel_v4(h_ref, w_hbm, x_hbm, o_ref, xbuf, wbuf, xsem, wsem, fsem, *,
             xbuf[slot, pl.ds(0, n_h), :] = h_ref[pl.ds(h0, n_h), :]
 
     # precision scheme is load-bearing; see _dot_scheme/_kernel.
-    plane = ((lambda p: wbuf[slot, p]) if scheme == "split5"
-             else (lambda p: wbuf[slot]))
-    o_ref[0] = _word2int(
-        _dot_scheme(plane, xbuf[slot].astype(jnp.float32), scheme))
+    if scheme == "int8":
+        acc = _dot_int8(lambda p: wbuf[slot, p],
+                        b_ref[jax.lax.rem(j, P)],
+                        xbuf[slot].astype(jnp.int32), scales)
+        o_ref[0] = _word2int(acc)
+    else:
+        plane = ((lambda p: wbuf[slot, p]) if scheme == "split5"
+                 else (lambda p: wbuf[slot]))
+        o_ref[0] = _word2int(
+            _dot_scheme(plane, xbuf[slot].astype(jnp.float32), scheme))
 
 
 @functools.partial(jax.jit, static_argnames=("n_blocks", "shift", "num",
                                              "den", "f0", "interpret",
-                                             "lane_tile", "scheme"))
+                                             "lane_tile", "scheme",
+                                             "scales"))
 def resample_conv_tm_pallas_v4(hist, x, w, *, n_blocks: int, shift: int,
                                num: int, den: int, f0: int = 0,
                                interpret: bool = False,
                                lane_tile: int | None = None,
-                               scheme: str = "highest"):
+                               scheme: str = "highest",
+                               scales: tuple = ()):
     """Streamed-weight launch for large-P configs.
 
     hist: int16[H, B];  x: int16[T_c, B] (real rows ++ >=K zero rows);
     w: PRE-TRANSPOSED cyclic set (stays in HBM; the caller transposes once
     at build time — transposing per launch would re-stream the whole set
-    through HBM): f32[P, R, K] for scheme "highest", bf16[P, 3, R, K]
+    through HBM): f32[P, R, K] for scheme "highest"; bf16[P, 3, R, K]
     (split5_weights planes, plane axis second so one DMA fetches a block's
-    three planes) for scheme "split5".
+    planes) for scheme "split5"; (int8[P, D, R, K] planes,
+    f32[P, R] bias) with static ``scales`` for scheme "int8".
     returns int16[n_blocks * R, B].
     """
-    if scheme == "split5":
+    bias = None
+    if scheme == "int8":
+        planes, bias = w
+        assert planes.dtype == jnp.int8, planes.dtype
+        P, D, R, K = planes.shape
+        w = planes
+        w_scratch = pltpu.VMEM((2, D, R, K), jnp.int8)
+        w_scratch_bytes = 2 * D * R * K
+    elif scheme == "split5":
         assert w.ndim == 4 and w.dtype == jnp.bfloat16, (w.shape, w.dtype)
         P, _, R, K = w.shape
         w_scratch = pltpu.VMEM((2, 3, R, K), jnp.bfloat16)
@@ -595,17 +633,23 @@ def resample_conv_tm_pallas_v4(hist, x, w, *, n_blocks: int, shift: int,
         x = jnp.pad(x, ((0, 0), (0, pad)))
         B_pad = n_lane_tiles * lb
 
+    in_specs = [pl.BlockSpec((H, lb), lambda i, j: (0, i),
+                             memory_space=pltpu.VMEM)]
+    operands = [hist]
+    if scheme == "int8":
+        in_specs.append(pl.BlockSpec((P, R), lambda i, j: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(bias)
+    in_specs += [pl.BlockSpec(memory_space=pl.ANY),
+                 pl.BlockSpec(memory_space=pl.ANY)]
+    operands += [w, x]
     y = pl.pallas_call(
         functools.partial(_kernel_v4, R=R, K=K, H=H, num=num, den=den,
                           shift=shift, P=P, n_blocks=n_blocks, lb=lb,
-                          hist_plans=hist_plans, f0=f0, scheme=scheme),
+                          hist_plans=hist_plans, f0=f0, scheme=scheme,
+                          scales=scales),
         grid=(n_lane_tiles, n_blocks),
-        in_specs=[
-            pl.BlockSpec((H, lb), lambda i, j: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, R, lb), lambda i, j: (j, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_blocks, R, B_pad), jnp.int16),
@@ -622,7 +666,7 @@ def resample_conv_tm_pallas_v4(hist, x, w, *, n_blocks: int, shift: int,
             + n_blocks * (K * lb * 2 + R * K * 4) * n_lane_tiles,
             transcendentals=0),
         interpret=interpret,
-    )(hist, w, x)
+    )(*operands)
 
     y = y.reshape(n_blocks * R, B_pad)
     return y[:, :B] if B_pad != B else y

@@ -222,8 +222,6 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
     if bspec.kernel == "streamed":
         assert use_pallas, "streamed geometry requires the Pallas kernel"
         from ..ops import pallas_fir
-        if scheme == "auto":
-            scheme = "split5" if not pallas_interpret else "highest"
         ptw = _tiled_weights(spec, bspec.f0)
         assert (ptw.S, ptw.P, ptw.R) == (bspec.S, bspec.P, bspec.R)
         H = _hist_rows_tiled(N)
@@ -233,18 +231,36 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
         K_pad = -(-ptw.K // 128) * 128
         w_np = np.pad(ptw.w, ((0, 0), (0, K_pad - ptw.K), (0, 0)))
         chunk_rows = -(-(n_in + K_pad) // 16) * 16
+        int8p = None
+        if scheme == "auto":
+            if pallas_interpret:
+                scheme = "highest"
+            else:
+                int8p = pallas_fir.int8_weights_auto(w_np, _INT8_CERT_GATE)
+                scheme = "int8" if int8p is not None else "split5"
+        scales = ()
+        if scheme == "int8":
+            if int8p is None:
+                int8p = pallas_fir.int8_weights_auto(w_np, _INT8_CERT_MAX)
+                if int8p is None:
+                    raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
+            planes, bias, scales, err = int8p
+            # [D, P, K, R] -> [P, D, R, K]: plane axis second so one DMA
+            # fetches a block's planes contiguously
+            w_streamed = (jnp.asarray(np.ascontiguousarray(
+                planes.transpose(1, 0, 3, 2))), jnp.asarray(bias))
+        elif scheme == "split5":
+            # [3, P, K, R] -> [P, 3, R, K]
+            w_streamed = jnp.asarray(np.ascontiguousarray(
+                pallas_fir.split5_weights(w_np).transpose(1, 0, 3, 2)))
+        else:
+            w_streamed = jnp.asarray(
+                np.ascontiguousarray(w_np.transpose(0, 2, 1)))
         conv = functools.partial(pallas_fir.resample_conv_tm_pallas_v4,
                                  n_blocks=bspec.n_blocks, shift=shift,
                                  num=spec.num, den=spec.den, f0=bspec.f0,
-                                 interpret=pallas_interpret, scheme=scheme)
-        if scheme == "split5":
-            # [3, P, K, R] -> [P, 3, R, K]: plane axis second so one DMA
-            # fetches a block's three planes contiguously
-            w_host = np.ascontiguousarray(
-                pallas_fir.split5_weights(w_np).transpose(1, 0, 3, 2))
-        else:
-            w_host = np.ascontiguousarray(w_np.transpose(0, 2, 1))
-        w_streamed = jnp.asarray(w_host)
+                                 interpret=pallas_interpret, scheme=scheme,
+                                 scales=scales)
 
         def step(hist, x, w):
             y = conv(hist, x, w)[:n_out]
@@ -258,16 +274,18 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
         assert use_pallas, "tiled geometry requires the Pallas kernel"
         from ..ops import pallas_fir
         ptw = _tiled_weights(spec, bspec.f0)
+        int8p = None
         if scheme == "auto":
             if pallas_interpret:
                 scheme = "highest"
             else:
-                # int8 (6 MXU passes at 2x rate ~ 3 bf16-equivalents) wins
-                # over split5 when its rigorous worst-case certificate
-                # leaves comfortable margin inside the <=1 LSB / tie-rate
-                # contract; otherwise fall back to split5.
-                err = pallas_fir.int8_weights(ptw.w)[3]
-                scheme = "int8" if err <= _INT8_CERT_GATE else "split5"
+                # int8 (2*D MXU passes at 2x rate ~ D bf16-equivalents,
+                # D=3 or 4) wins over split5 when its rigorous worst-case
+                # certificate leaves comfortable margin inside the <=1 LSB
+                # / tie-rate contract; otherwise fall back to split5.
+                int8p = pallas_fir.int8_weights_auto(ptw.w,
+                                                     _INT8_CERT_GATE)
+                scheme = "int8" if int8p is not None else "split5"
         assert (ptw.S, ptw.P, ptw.R) == (bspec.S, bspec.P, bspec.R)
         H = _hist_rows_tiled(N)
         n_periods = bspec.n_blocks // ptw.P
@@ -278,9 +296,11 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
         offsets = tuple(int(o) for o in ptw.offsets)
         scales = ()
         if scheme == "int8":
-            planes, bias, scales, err = pallas_fir.int8_weights(ptw.w)
-            if err > _INT8_CERT_MAX:
-                raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
+            if int8p is None:
+                int8p = pallas_fir.int8_weights_auto(ptw.w, _INT8_CERT_MAX)
+                if int8p is None:
+                    raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
+            planes, bias, scales, err = int8p
             w_host = (jnp.asarray(planes), jnp.asarray(bias))
         elif scheme == "split5":
             w_host = jnp.asarray(pallas_fir.split5_weights(ptw.w))

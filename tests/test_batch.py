@@ -430,9 +430,43 @@ def test_batched_int8_scheme_interpret():
 
 
 def test_int8_certificate_gate():
-    """Explicit int8 on a config whose certificate exceeds the hard cap
-    must be refused (the <=1 LSB contract would be at risk)."""
-    from speex_resampler_tpu.utils.errors import ResamplerError
-    with pytest.raises(ResamplerError):
-        BatchedResampler(1, 1, 48000, 8000, 4, use_pallas=True,
-                         pallas_interpret=True, scheme="int8")
+    """int8_weights_auto must refuse (return None) when even 4 digits
+    cannot certify the bound — e.g. a pathological huge-L1 filter — and
+    auto-escalate real long filters to 4 digits."""
+    rng = np.random.default_rng(0)
+    # pathological: enormous L1 norm makes the quantization sum blow up
+    w_bad = (rng.standard_normal((2, 4096, 128)) * 100).astype(np.float32)
+    assert pf.int8_weights_auto(w_bad, 0.20) is None
+    # real long filter escalates from 3 to 4 digits
+    spec = fd.design_filter(1, 2, 10)
+    w = ph.build_phase_tiled_weights(spec.phase_table, 1, 2, 0).w
+    assert pf.int8_weights(w, digits=3)[3] > 0.20
+    got = pf.int8_weights_auto(w, 0.20)
+    assert got is not None and got[0].shape[0] == 4
+
+
+def test_batched_int8x4_long_filters_interpret():
+    """4-digit int8 planes (8 passes, certificate ~0.017 LSB) serve the
+    long-filter configs that gate out of 3 digits — both the tiled q10 and
+    the streamed-weight kernel."""
+    S, C = 2, 1
+    # tiled, q10 (D=4 auto-escalation)
+    frames = _random_frames(S, 4000, C, seed=71)
+    ref_eng = BatchedResampler(S, C, 24000, 48000, 10, use_pallas=False)
+    ref = np.concatenate([ref_eng.process(frames), ref_eng.flush()], axis=1)
+    eng = BatchedResampler(S, C, 24000, 48000, 10, use_pallas=True,
+                           pallas_interpret=True, scheme="int8")
+    got = np.concatenate([eng.process(frames), eng.flush()], axis=1)
+    assert got.shape == ref.shape
+    assert_lsb_close(got.ravel(), ref.ravel())
+
+    # streamed v4, q10
+    frames = _random_frames(S, 30000, C, seed=72)
+    ref_eng = BatchedResampler(S, C, 48000, 44100, 10, use_pallas=False)
+    ref = np.concatenate([ref_eng.process(frames), ref_eng.flush()], axis=1)
+    eng = BatchedResampler(S, C, 48000, 44100, 10, use_pallas=True,
+                           pallas_interpret=True, scheme="int8")
+    assert eng.bspec.kernel == "streamed"
+    got = np.concatenate([eng.process(frames), eng.flush()], axis=1)
+    assert got.shape == ref.shape
+    assert_lsb_close(got.ravel(), ref.ravel())
