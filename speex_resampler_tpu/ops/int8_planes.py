@@ -60,8 +60,13 @@ def decompose(w: np.ndarray, sw: int = 22,
     tighter certificate) at the cost of 2 extra MXU passes per digit.
     """
     w64 = w.astype(np.float64)
-    cap = 128 * sum(256 ** d for d in range(digits))
-    while sw > 0 and np.abs(np.round(w64 * 2.0 ** sw)).max() > cap:
+    # balanced digits are asymmetric: max +127*sum(256^d), min -128*sum
+    s = sum(256 ** d for d in range(digits))
+    cap_pos, cap_neg = 127 * s, -128 * s
+    while sw > 0:
+        r = np.round(w64 * 2.0 ** sw)
+        if r.max() <= cap_pos and r.min() >= cap_neg:
+            break
         sw -= 1
     W = np.round(w64 * 2.0 ** sw).astype(np.int64)
 
@@ -90,6 +95,12 @@ def decompose(w: np.ndarray, sw: int = 22,
     for d in range(digits):
         colsum = np.abs(planes[d].astype(np.float64)).sum(axis=1).max()
         imax = 32896.0 * colsum
+        if imax >= 2.0 ** 31:
+            # the kernel's exact combine 256*ah + al would WRAP int32 —
+            # no error bound exists; refuse this decomposition outright
+            # (very long decimation filters; callers fall back to split5)
+            conv = np.inf
+            break
         if imax >= 2.0 ** 24:
             conv += imax * 2.0 ** -24 * 2.0 ** (8 * d - sw)
     # (c) the final f32 sum of 3 scaled terms + bias: ≤ 3 roundings at the

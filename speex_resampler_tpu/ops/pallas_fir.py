@@ -68,7 +68,6 @@ def split5_weights(w):
     experiments/split_accuracy.py).  w: f32[..., K, R] (or any shape);
     returns bf16[3, ...].
     """
-    import numpy as np
     import ml_dtypes
     w = np.asarray(w, dtype=np.float32)
     hi = w.astype(ml_dtypes.bfloat16)

@@ -107,6 +107,31 @@ class BatchSpec:
         return self.n_blocks * self.group * self.den
 
 
+def _resolve_scheme(pallas_fir, w_cert: np.ndarray, scheme: str,
+                    pallas_interpret: bool):
+    """Shared scheme resolution for both Pallas kernel families.
+
+    Returns (scheme, int8p, scales): "auto" -> highest under interpret
+    (CPU bf16/int8 matmuls are emulated and slow), else int8 when the
+    digit-escalating certificate clears the gate, else split5; an explicit
+    "int8" request is refused past the hard cap.
+    """
+    int8p = None
+    if scheme == "auto":
+        if pallas_interpret:
+            return "highest", None, ()
+        int8p = pallas_fir.int8_weights_auto(w_cert, _INT8_CERT_GATE)
+        scheme = "int8" if int8p is not None else "split5"
+    scales = ()
+    if scheme == "int8":
+        if int8p is None:
+            int8p = pallas_fir.int8_weights_auto(w_cert, _INT8_CERT_MAX)
+            if int8p is None:
+                raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
+        scales = int8p[2]
+    return scheme, int8p, scales
+
+
 def _next_hist(hist, x, n_in: int, H: int):
     """Last H rows of the virtual stream hist ++ x[:n_in].
 
@@ -231,20 +256,10 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
         K_pad = -(-ptw.K // 128) * 128
         w_np = np.pad(ptw.w, ((0, 0), (0, K_pad - ptw.K), (0, 0)))
         chunk_rows = -(-(n_in + K_pad) // 16) * 16
-        int8p = None
-        if scheme == "auto":
-            if pallas_interpret:
-                scheme = "highest"
-            else:
-                int8p = pallas_fir.int8_weights_auto(w_np, _INT8_CERT_GATE)
-                scheme = "int8" if int8p is not None else "split5"
-        scales = ()
+        scheme, int8p, scales = _resolve_scheme(pallas_fir, w_np, scheme,
+                                                pallas_interpret)
         if scheme == "int8":
-            if int8p is None:
-                int8p = pallas_fir.int8_weights_auto(w_np, _INT8_CERT_MAX)
-                if int8p is None:
-                    raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
-            planes, bias, scales, err = int8p
+            planes, bias = int8p[0], int8p[1]
             # [D, P, K, R] -> [P, D, R, K]: plane axis second so one DMA
             # fetches a block's planes contiguously
             w_streamed = (jnp.asarray(np.ascontiguousarray(
@@ -274,18 +289,11 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
         assert use_pallas, "tiled geometry requires the Pallas kernel"
         from ..ops import pallas_fir
         ptw = _tiled_weights(spec, bspec.f0)
-        int8p = None
-        if scheme == "auto":
-            if pallas_interpret:
-                scheme = "highest"
-            else:
-                # int8 (2*D MXU passes at 2x rate ~ D bf16-equivalents,
-                # D=3 or 4) wins over split5 when its rigorous worst-case
-                # certificate leaves comfortable margin inside the <=1 LSB
-                # / tie-rate contract; otherwise fall back to split5.
-                int8p = pallas_fir.int8_weights_auto(ptw.w,
-                                                     _INT8_CERT_GATE)
-                scheme = "int8" if int8p is not None else "split5"
+        # int8 (2*D MXU passes at 2x rate ~ D bf16-equivalents, D=3 or 4)
+        # wins over split5 when its rigorous worst-case certificate leaves
+        # comfortable margin inside the <=1 LSB / tie-rate contract.
+        scheme, int8p, scales = _resolve_scheme(pallas_fir, ptw.w, scheme,
+                                                pallas_interpret)
         assert (ptw.S, ptw.P, ptw.R) == (bspec.S, bspec.P, bspec.R)
         H = _hist_rows_tiled(N)
         n_periods = bspec.n_blocks // ptw.P
@@ -294,14 +302,8 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
         V = pallas_fir._v3_views(ptw.S, ptw.K, H, ptw.offsets) + (gp - 1)
         chunk_rows = (n_periods - back + V - (gp - 1) + (gp - 1)) * ptw.S
         offsets = tuple(int(o) for o in ptw.offsets)
-        scales = ()
         if scheme == "int8":
-            if int8p is None:
-                int8p = pallas_fir.int8_weights_auto(ptw.w, _INT8_CERT_MAX)
-                if int8p is None:
-                    raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
-            planes, bias, scales, err = int8p
-            w_host = (jnp.asarray(planes), jnp.asarray(bias))
+            w_host = (jnp.asarray(int8p[0]), jnp.asarray(int8p[1]))
         elif scheme == "split5":
             w_host = jnp.asarray(pallas_fir.split5_weights(ptw.w))
         else:
@@ -555,8 +557,9 @@ class BatchedResampler:
                 (state["in_rate"], state["out_rate"], state["quality"]) != \
                 (self.in_rate, self.out_rate, self.spec.quality):
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
-        if int(state.get("f0", 0)) != self._f0:
-            self._build_step(int(state["f0"]))
+        f0 = int(state.get("f0", 0))
+        if f0 != self._f0:
+            self._build_step(f0)
         hist = jnp.asarray(state["hist"])
         if self._lane_sharding is not None:
             hist = jax.device_put(hist, self._lane_sharding)

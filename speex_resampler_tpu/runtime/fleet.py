@@ -143,6 +143,10 @@ class FleetResampler:
     def _bank(self, y: np.ndarray, per_stream) -> None:
         outs = self._stager.unpack_all(y)  # [S, n_out, C]
         for s in range(self.n_streams):
+            if not self._active[s]:
+                # inactive lanes are zero-filled in slabs but their stale
+                # history still convolves to nonzero rows — never bank them
+                continue
             o = outs[s]
             if per_stream is not None:
                 o = o[:per_stream[s]]
@@ -192,6 +196,11 @@ class FleetResampler:
 
     def peek_staged(self, slot: int) -> np.ndarray:
         return self._stager.peek(slot)
+
+    def lane_carry(self, slot: int) -> bytes:
+        """One lane's byte-alignment carry (a pending partial frame from
+        push_bytes) — must be salvaged before deactivating the slot."""
+        return self._stager.carry(slot)
 
     # -- checkpoint/resume (SURVEY.md §5) -----------------------------------
 

@@ -298,6 +298,10 @@ class MultiFleet:
             fleet = b_old.fleet
             banked = fleet.pull(st.slot)
             tail_in = fleet.peek_staged(st.slot)
+            # salvage the byte-alignment carry before deactivation clears
+            # it; it prefixes whatever push_bytes delivers next
+            st._byte_carry = (fleet.lane_carry(st.slot)
+                              + getattr(st, "_byte_carry", b""))
             hist = fleet.lane_history(st.slot)
             ir0, or0, q0 = st.key
             core = ResamplerCore(C, ir0, or0, ir0, or0, q0)
@@ -393,7 +397,9 @@ class MultiFleet:
         if st.carryover is not None and len(st.carryover):
             parts.append(st.carryover)
         st.carryover = None
-        if st.slot is not None:
+        # during a transition the reserved slot is inactive and owns no
+        # banked output (the fleet never banks inactive lanes either)
+        if st.slot is not None and st.transition is None:
             got = self._collect(sid)
             if len(got):
                 parts.append(got)

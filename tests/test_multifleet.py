@@ -302,3 +302,64 @@ def test_multifleet_set_stream_rate_full_target_bucket():
     mf.push("b", x)
     mf.flush()
     assert mf.pull("b").shape[0] > 0
+
+
+def test_multifleet_transition_pull_is_clean():
+    """While a rate switch is pending (reserved slot inactive), pull() must
+    NOT surface frames banked by other streams' launches in the new bucket
+    (round-2 review finding: stale-history convolution garbage)."""
+    rng = np.random.default_rng(11)
+    mf = MultiFleet(channels=1, capacity_per_bucket=2,
+                    target_chunk_frames=512, use_pallas=False)
+    mf.add_stream("a", 44100, 48000, 7)
+    mf.add_stream("b", 24000, 48000, 5)
+    x = (rng.integers(-20000, 20000, size=(3000, 1))).astype(np.int16)
+    mf.push("b", x[:100])
+    mf.set_stream_rate("b", 44100, 48000, 7)   # b now mid-transition
+    drained = mf.pull("b")                     # old-config drain only
+    mf.push("a", x)                            # a runs launches in bucket
+    mf.poll()
+    assert mf.pull("b").shape[0] == 0          # no garbage for b
+    # a's own output is unaffected
+    core = ResamplerCore(1, 44100, 48000, 44100, 48000, 7)
+    mf.end_stream("a")
+    want = core.process_interleaved(x, 10**9)
+    got = mf.pull("a")
+    m = min(len(got), len(want))
+    assert_lsb_close(got[:m].ravel(), want[:m].ravel())
+    # b's drained prefix equals the old-config reference
+    core_b = ResamplerCore(1, 24000, 48000, 24000, 48000, 5)
+    want_b = core_b.process_interleaved(x[:100], 10**9)
+    assert_lsb_close(drained.ravel(), want_b.ravel())
+
+
+def test_multifleet_set_stream_rate_preserves_byte_carry():
+    """A pending half-frame byte in the stager must survive the switch
+    (round-2 review finding: deactivation cleared it, byte-shifting all
+    later audio)."""
+    rng = np.random.default_rng(12)
+    pcm = (rng.integers(-20000, 20000, size=4000)).astype("<i2").tobytes()
+    mf = MultiFleet(channels=1, capacity_per_bucket=2,
+                    target_chunk_frames=512, use_pallas=False)
+    mf.add_stream("s", 24000, 48000, 5)
+    mf.push_bytes("s", pcm[:101])              # 1 carry byte pending
+    mf.set_stream_rate("s", 44100, 48000, 7)
+    mf.push_bytes("s", pcm[101:])
+    mf.flush()
+    got = mf.pull("s")
+
+    core = ResamplerCore(1, 24000, 48000, 24000, 48000, 5)
+    p1 = core.process_interleaved(
+        np.frombuffer(pcm[:100], dtype="<i2").reshape(-1, 1), 10**9)
+    core2 = ResamplerCore(1, 24000, 48000, 24000, 48000, 5)
+    # reference: 50 frames under old config, rest under new, carrying state
+    ref = ResamplerCore(1, 24000, 48000, 24000, 48000, 5)
+    frames = np.frombuffer(pcm, dtype="<i2").reshape(-1, 1)
+    q1 = ref.process_interleaved(frames[:50], 10**9)
+    ref.set_rate(44100, 48000)
+    ref.set_quality(7)
+    q2 = ref.process_interleaved(frames[50:], 10**9)
+    want = np.concatenate([q1, q2])
+    m = min(len(got), len(want))
+    assert abs(len(got) - len(want)) <= 1
+    assert_lsb_close(got[:m].ravel(), want[:m].ravel())
