@@ -328,12 +328,22 @@ def _kernel_v3(w_ref, *rest, offs: tuple, S: int, K: int, H: int,
                 # period index j*gp+g >= back guaranteed when g >= back
                 assemble(gen, g)
             else:
-                @pl.when(j * gp + g >= back)
+                # the general plan must fire whenever NO explicit case
+                # matches — including periods < back whose case plan
+                # coincided with the general plan and was filtered out of
+                # ``cases`` (otherwise the scratch keeps the previous
+                # block's data and the block is garbage)
+                period = j * gp + g
+                cond = period != cases[0][0]
+                for jc, _ in cases[1:]:
+                    cond = jnp.logical_and(cond, period != jc)
+
+                @pl.when(cond)
                 def _(gen=gen, g=g):
                     assemble(gen, g)
 
                 for jc, plan in cases:
-                    @pl.when(j * gp + g == jc)
+                    @pl.when(period == jc)
                     def _(plan=plan, g=g):
                         # jc-case plans index views relative to period 0
                         # of the program (j == 0 when this fires)

@@ -470,3 +470,62 @@ def test_batched_int8x4_long_filters_interpret():
     got = np.concatenate([eng.process(frames), eng.flush()], axis=1)
     assert got.shape == ref.shape
     assert_lsb_close(got.ravel(), ref.ravel())
+
+
+def test_batched_mesh_sharded_int8_interpret():
+    """The int8 scheme's tuple weight operand (planes, bias) must ride
+    shard_map's replicated spec correctly — the production TPU default is
+    int8 + optional mesh."""
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = jax.sharding.Mesh(np.array(devs[:8]), ("streams",))
+    S, C = 8, 1
+    frames = _random_frames(S, 6000, C, seed=81)
+
+    plain = BatchedResampler(S, C, 44100, 48000, 7, use_pallas=True,
+                             pallas_interpret=True, scheme="int8")
+    a = np.concatenate([plain.process(frames), plain.flush()], axis=1)
+
+    sharded = BatchedResampler(S, C, 44100, 48000, 7, use_pallas=True,
+                               pallas_interpret=True, scheme="int8",
+                               mesh=mesh)
+    b = np.concatenate([sharded.process(frames), sharded.flush()], axis=1)
+    assert np.array_equal(a, b)
+
+
+def test_batched_random_config_fuzz_interpret():
+    """Seeded sweep over random (ratio, quality) configs: the Pallas
+    engine (auto geometry, explicit per-config scheme) must match the
+    dense reference engine on every one — hardens the tiled/streamed
+    geometry machinery (look-back, views, origin shift, digit escalation)
+    beyond the hand-picked matrix."""
+    rng = np.random.default_rng(2024)
+    rates = [8000, 11025, 16000, 22050, 24000, 32000, 44100, 48000, 88200]
+    tried = 0
+    while tried < 8:
+        ir, orr = rng.choice(rates, size=2, replace=False)
+        q = int(rng.integers(0, 11))
+        S, C = 2, 1
+        n = 12000 if max(ir, orr) / min(ir, orr) < 4 else 30000
+        frames = _random_frames(S, n, C, seed=tried)
+        ref_eng = BatchedResampler(S, C, int(ir), int(orr), q,
+                                   use_pallas=False)
+        ref = np.concatenate([ref_eng.process(frames), ref_eng.flush()],
+                             axis=1)
+        scheme = ("int8" if pf.int8_weights_auto(
+            ref_eng.spec.phase_table[None].transpose(0, 2, 1), 0.20)
+            is not None else "split5")
+        try:
+            eng = BatchedResampler(S, C, int(ir), int(orr), q,
+                                   use_pallas=True, pallas_interpret=True,
+                                   scheme=scheme)
+        except Exception:
+            # certificate refusal: fall back like auto would
+            eng = BatchedResampler(S, C, int(ir), int(orr), q,
+                                   use_pallas=True, pallas_interpret=True,
+                                   scheme="split5")
+        got = np.concatenate([eng.process(frames), eng.flush()], axis=1)
+        assert got.shape == ref.shape, (ir, orr, q, got.shape, ref.shape)
+        assert_lsb_close(got.ravel(), ref.ravel())
+        tried += 1
