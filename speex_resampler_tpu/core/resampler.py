@@ -69,10 +69,18 @@ class ResamplerCore:
     (resample.c:799-866) + the full runtime API."""
 
     def __init__(self, nb_channels: int, ratio_num: int, ratio_den: int,
-                 in_rate: int, out_rate: int, quality: int):
+                 in_rate: int, out_rate: int, quality: int,
+                 fixed_point: bool = False):
+        """``fixed_point=True`` selects the reference's OTHER numeric
+        universe (-DFIXED_POINT, arch.h:39-67): spx_word16_t = int16, Q15
+        integer hot loops, int16 ``mem``.  Outputs are bit-exact vs the
+        fixed-build oracle (wrapping int32 sums are order-independent, see
+        ops/fir_fixed.py)."""
         if (nb_channels <= 0 or ratio_num <= 0 or ratio_den <= 0
                 or quality > 10 or quality < 0):
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
+        self.fixed_point = bool(fixed_point)
+        self._mem_dtype = np.int16 if fixed_point else np.float32
         self.nb_channels = int(nb_channels)
         self.in_rate = 0
         self.out_rate = 0
@@ -88,8 +96,9 @@ class ResamplerCore:
         self.samp_frac_num = np.zeros(C, dtype=np.int64)
         self.magic_samples = np.zeros(C, dtype=np.int64)
         # mem[c] = history (filt_len-1 samples) ++ pending magic samples
-        self._history = [np.zeros(0, dtype=np.float32) for _ in range(C)]
-        self._pending = [np.zeros(0, dtype=np.float32) for _ in range(C)]
+        # (dtype = spx_word16_t: f32 float build, int16 fixed build)
+        self._history = [np.zeros(0, dtype=self._mem_dtype) for _ in range(C)]
+        self._pending = [np.zeros(0, dtype=self._mem_dtype) for _ in range(C)]
 
         self.in_stride = 1   # resample.c:1170-1178
         self.out_stride = 1  # resample.c:1180-1188
@@ -109,7 +118,8 @@ class ResamplerCore:
     def _update_filter(self):
         old_spec = self._spec
         try:
-            spec = fd.design_filter(self.num, self.den, self.quality)
+            spec = fd.design_filter(self.num, self.den, self.quality,
+                                    fixed_point=self.fixed_point)
         except fd.OverflowArgError:
             raise ResamplerError(ResamplerErrorCode.OVERFLOW)
         self._spec = spec
@@ -118,8 +128,8 @@ class ResamplerCore:
 
         if not self.started or old_spec is None:
             for c in range(self.nb_channels):
-                self._history[c] = np.zeros(N - 1, dtype=np.float32)
-                self._pending[c] = np.zeros(0, dtype=np.float32)
+                self._history[c] = np.zeros(N - 1, dtype=self._mem_dtype)
+                self._pending[c] = np.zeros(0, dtype=self._mem_dtype)
                 self.magic_samples[c] = 0
             return
 
@@ -138,13 +148,14 @@ class ResamplerCore:
                 # C shifts pending right by magic and zero-fills, giving a
                 # buffer of olen-1 samples = [zeros(magic) | hist | pend]
                 data = np.concatenate(
-                    [np.zeros(len(pend), dtype=np.float32), hist, pend])
+                    [np.zeros(len(pend), dtype=self._mem_dtype), hist, pend])
                 self.magic_samples[c] = 0
                 if N > olen:
                     # zero-pad front to N-1 history, bump last_sample
-                    pad = np.zeros((N - 1) - (olen - 1), dtype=np.float32)
+                    pad = np.zeros((N - 1) - (olen - 1),
+                                   dtype=self._mem_dtype)
                     self._history[c] = np.concatenate([pad, data])
-                    self._pending[c] = np.zeros(0, dtype=np.float32)
+                    self._pending[c] = np.zeros(0, dtype=self._mem_dtype)
                     self.last_sample[c] += (N - olen) // 2
                 else:
                     # still shrinking vs augmented length: stash magic
@@ -261,8 +272,8 @@ class ResamplerCore:
         self.magic_samples[:] = 0
         N = self._spec.filt_len
         for c in range(self.nb_channels):
-            self._history[c] = np.zeros(N - 1, dtype=np.float32)
-            self._pending[c] = np.zeros(0, dtype=np.float32)
+            self._history[c] = np.zeros(N - 1, dtype=self._mem_dtype)
+            self._pending[c] = np.zeros(0, dtype=self._mem_dtype)
 
     def import_history(self, history: np.ndarray):
         """Adopt filter memory from an external engine (e.g. one lane of a
@@ -272,7 +283,7 @@ class ResamplerCore:
         history: [filt_len-1, C] samples (int16 values or f32 scale).
         """
         N = self._spec.filt_len
-        history = np.asarray(history, dtype=np.float32)
+        history = np.asarray(history, dtype=self._mem_dtype)
         if history.shape != (N - 1, self.nb_channels):
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
         self.started = True
@@ -281,7 +292,7 @@ class ResamplerCore:
         self.magic_samples[:] = 0
         for c in range(self.nb_channels):
             self._history[c] = np.ascontiguousarray(history[:, c])
-            self._pending[c] = np.zeros(0, dtype=np.float32)
+            self._pending[c] = np.zeros(0, dtype=self._mem_dtype)
 
     # ------------------------------------------------------------------
     # Checkpoint / resume.  The streaming state IS a checkpoint (SURVEY.md
@@ -293,6 +304,7 @@ class ResamplerCore:
         """Serializable snapshot; restore with load_state_dict."""
         return {
             "nb_channels": self.nb_channels,
+            "fixed_point": self.fixed_point,
             "in_rate": self.in_rate, "out_rate": self.out_rate,
             "num": self.num, "den": self.den, "quality": self.quality,
             "started": self.started,
@@ -306,7 +318,8 @@ class ResamplerCore:
 
     def load_state_dict(self, state: dict):
         """Restore a snapshot taken by state_dict on a compatible core."""
-        if state["nb_channels"] != self.nb_channels:
+        if (state["nb_channels"] != self.nb_channels
+                or state.get("fixed_point", False) != self.fixed_point):
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
         self.set_quality(int(state["quality"]))
         self.set_rate_frac(int(state["num"]), int(state["den"]),
@@ -317,9 +330,9 @@ class ResamplerCore:
         self.last_sample[:] = state["last_sample"]
         self.samp_frac_num[:] = state["samp_frac_num"]
         self.magic_samples[:] = state["magic_samples"]
-        self._history = [np.array(h, dtype=np.float32)
+        self._history = [np.array(h, dtype=self._mem_dtype)
                          for h in state["history"]]
-        self._pending = [np.array(p, dtype=np.float32)
+        self._pending = [np.array(p, dtype=self._mem_dtype)
                          for p in state["pending"]]
 
     # ------------------------------------------------------------------
@@ -451,7 +464,15 @@ class ResamplerCore:
         consumed = min(ls_after, n_new)
 
         hist = np.stack([self._history[c] for c in chans])
-        X = np.concatenate([hist, new.astype(np.float32)], axis=1)
+        if self.fixed_point:
+            # fixed-build mem is int16; the float-sample API converts on
+            # entry with the fixed WORD2INT (resample.c:1002)
+            if new.dtype == np.float32:
+                from ..ops.fixed_math import word2int_fixed
+                new = word2int_fixed(new)
+            X = np.concatenate([hist, new.astype(np.int16)], axis=1)
+        else:
+            X = np.concatenate([hist, new.astype(np.float32)], axis=1)
 
         odt = np.float32 if out_float else np.int16
         if n_out <= 0:
@@ -460,7 +481,15 @@ class ResamplerCore:
             y = np.zeros((len(chans), n_out), dtype=odt)
         else:
             try:
-                y = self._run_fir(X, ls0, f0, n_out, out_float)
+                if self.fixed_point:
+                    from ..ops.fir_fixed import resample_fixed
+                    y = resample_fixed(X, ls0, f0, n_out, self._spec)
+                    if out_float:
+                        # fixed process_float output: int16 -> float store
+                        # (resample.c:1019-1022, fixed branch), exact
+                        y = y.astype(np.float32)
+                else:
+                    y = self._run_fir(X, ls0, f0, n_out, out_float)
             except (MemoryError, RuntimeError):
                 # resampler_basic_zero swap (resample.c:561-591): emit zeros
                 # with the exact sample accounting from here on

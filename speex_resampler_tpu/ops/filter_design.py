@@ -196,6 +196,30 @@ def _sinc(cutoff_f32: np.float32, x_f32: np.ndarray, N: int,
     return out.astype(F32)
 
 
+def _sinc_fixed(cutoff_f32: np.float32, x_f32: np.ndarray, N: int,
+                window: str) -> np.ndarray:
+    """Vectorized FIXED_POINT-build sinc() (resample.c:275-285).
+
+    Same double-precision core as the float build but scaled by 32768 with
+    the fixed-build WORD2INT (clamp then truncate toward zero) and the C
+    expression's exact left-to-right association
+    ``32768.*cutoff*sin(pi*xx)/(pi*xx) * compute_func(...)``."""
+    from .fixed_math import word2int_fixed
+    x = x_f32.astype(F32)
+    cutoff = F32(cutoff_f32)
+    xx = (x * cutoff).astype(F32)                       # float xx = x*cutoff
+    ax = np.abs(x.astype(F64))
+    pi_xx = F64(math.pi) * xx.astype(F64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        core = (F64(32768.0) * cutoff.astype(F64)) * np.sin(pi_xx) / pi_xx
+    win_arg = np.abs(F64(2.0) * x.astype(F64) / F64(N)).astype(F32)
+    val = core * _compute_func(win_arg, window)
+    out_f64 = np.where(ax < 1e-6, F64(32768.0) * cutoff.astype(F64),
+                       np.where(ax > 0.5 * N, F64(0.0), val))
+    taps = word2int_fixed(out_f64)
+    return np.where(ax > 0.5 * N, np.int16(0), taps)
+
+
 def cubic_coef(frac_f32: np.ndarray) -> np.ndarray:
     """Vectorized float-build cubic_coef (resample.c:318-329).
 
@@ -241,6 +265,61 @@ def build_sinc_table_interp(cutoff_f32: np.float32, filt_len: int,
     i = np.arange(-4, oversample * filt_len + 4, dtype=np.int64)
     x = (i.astype(F32) / F32(oversample)).astype(F32) - F32(filt_len // 2)
     return _sinc(cutoff_f32, x.astype(F32), filt_len, window)
+
+
+def build_sinc_table_direct_fixed(cutoff_f32: np.float32, filt_len: int,
+                                  den: int, window: str) -> np.ndarray:
+    """Direct path table for the FIXED_POINT build: same x grid as the float
+    build (resample.c:671-678) through the fixed sinc(); int16 [den, N]."""
+    j = np.arange(filt_len, dtype=np.int64)
+    i = np.arange(den, dtype=np.int64)
+    base = (j - filt_len // 2 + 1).astype(F32)[None, :]
+    frac_i = (i.astype(F32) / F32(den)).astype(F32)[:, None]
+    x = (base - frac_i).astype(F32)
+    return _sinc_fixed(cutoff_f32, x, filt_len, window)
+
+
+def build_sinc_table_interp_fixed(cutoff_f32: np.float32, filt_len: int,
+                                  oversample: int, window: str) -> np.ndarray:
+    """Interpolated path table for the FIXED_POINT build (resample.c:689-691
+    grid through the fixed sinc()); int16, length oversample*filt_len + 8."""
+    i = np.arange(-4, oversample * filt_len + 4, dtype=np.int64)
+    x = (i.astype(F32) / F32(oversample)).astype(F32) - F32(filt_len // 2)
+    return _sinc_fixed(cutoff_f32, x.astype(F32), filt_len, window)
+
+
+def fixed_interp_tensors(sinc_table: np.ndarray, filt_len: int,
+                         oversample: int, den: int
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-phase tap tensor + Q15 cubic coefficients for the FIXED_POINT
+    interpolated hot loop (resampler_basic_interpolate_single,
+    resample.c:438-496, fixed branches).
+
+    Unlike the float build, the cubic mixing CANNOT be folded into the taps:
+    it happens on int32 accumulators through truncating-shift macros
+    (MULT16_32_Q15 of SHR32(accum,1)), which are nonlinear in the taps.  The
+    exact formulation keeps the four accumulators explicit:
+
+        accum[k] = sum_j in[j] * W4[f, k, j]      (int32, wrapping)
+        out      = interp_mix_fixed(accum, coef[f])
+
+    Returns (W4 int16 [den, 4, filt_len], coef int16 [den, 4])."""
+    from .fixed_math import cubic_coef_fixed, pdiv32
+    f = np.arange(den, dtype=np.int64)
+    # samp_frac_num*oversample is uint32 arithmetic in C (wraps mod 2^32)
+    prod = (f * oversample) & 0xFFFFFFFF
+    offset = (prod // den).astype(np.int64)
+    rem = (prod % den).astype(np.int64)
+    # frac = PDIV32(SHL32(rem,15), den): the uint32 shift wraps, PDIV32 casts
+    # to int32 and divides toward zero
+    shl = ((rem << 15) & 0xFFFFFFFF).astype(np.uint32).view(np.int32)
+    frac = pdiv32(shl, np.int32(den))
+    coef = cubic_coef_fixed(frac)  # [den, 4] int16
+    j = np.arange(filt_len, dtype=np.int64)
+    base = 4 + (j + 1)[None, :] * oversample - offset[:, None] - 2
+    idx = base[:, :, None] + np.arange(4)[None, None, :]  # [den, N, 4]
+    w4 = sinc_table[idx].transpose(0, 2, 1)  # [den, 4, N] int16
+    return np.ascontiguousarray(w4), coef
 
 
 def effective_phase_table(sinc_table: np.ndarray, filt_len: int,
@@ -297,8 +376,17 @@ class FilterSpec:
     cutoff: float            # f32 value
     int_advance: int
     frac_advance: int
-    sinc_table: np.ndarray   # reference-layout raw table (f32, 1-D)
-    phase_table: np.ndarray  # [den, filt_len] effective taps (f32)
+    sinc_table: np.ndarray   # reference-layout raw table (1-D; f32, or
+                             # int16 for the fixed universe)
+    phase_table: np.ndarray  # [den, filt_len] effective taps (f32; for the
+                             # fixed universe: int16, direct path only)
+    # FIXED_POINT universe (arch.h:39-67 dual build) extras; None on the
+    # float build.  The fixed interpolated hot loop cannot be collapsed to
+    # per-phase taps (integer truncations are nonlinear), so it carries the
+    # explicit 4-accumulator tensors instead (see fixed_interp_tensors).
+    fixed_point: bool = False
+    interp_taps: np.ndarray | None = None   # int16 [den, 4, filt_len]
+    interp_coef: np.ndarray | None = None   # int16 [den, 4]
 
     @property
     def input_latency(self) -> int:
@@ -312,11 +400,17 @@ class FilterSpec:
 
 
 @lru_cache(maxsize=64)
-def design_filter(num: int, den: int, quality: int) -> FilterSpec:
+def design_filter(num: int, den: int, quality: int,
+                  fixed_point: bool = False) -> FilterSpec:
     """Equivalent of update_filter (resample.c:605-701) for a reduced ratio.
 
     ``num``/``den`` must already be GCD-reduced (speex_resampler_set_rate_frac
     reduces before update_filter runs, resample.c:1125-1128).
+
+    ``fixed_point=True`` designs for the FIXED_POINT build universe: int16
+    Q15 tables through the fixed sinc() (resample.c:275-285); geometry
+    (filt_len, cutoff, advances, direct choice) is identical to the float
+    build — only the table contents and hot-loop algebra differ.
     """
     if not (0 <= quality <= 10):
         raise ValueError("quality must be in [0, 10]")
@@ -352,7 +446,22 @@ def design_filter(num: int, den: int, quality: int) -> FilterSpec:
                   and (2**31 - 1) // 4 // den >= filt_len)
 
     window = q.window
-    if use_direct:
+    interp_taps = interp_coef = None
+    if fixed_point:
+        if use_direct:
+            table2d = build_sinc_table_direct_fixed(cutoff, filt_len, den,
+                                                    window)
+            sinc_table = table2d.reshape(-1)
+            phase_table = table2d
+        else:
+            sinc_table = build_sinc_table_interp_fixed(
+                cutoff, filt_len, oversample, window)
+            interp_taps, interp_coef = fixed_interp_tensors(
+                sinc_table, filt_len, oversample, den)
+            # no collapsed table exists in the fixed universe; keep the
+            # accumulator-0..3 mean shape out of phase_table consumers
+            phase_table = np.zeros((0, filt_len), dtype=np.int16)
+    elif use_direct:
         table2d = build_sinc_table_direct(cutoff, filt_len, den, window)
         sinc_table = table2d.reshape(-1)
         phase_table = table2d
@@ -367,4 +476,6 @@ def design_filter(num: int, den: int, quality: int) -> FilterSpec:
         oversample=oversample, use_direct=use_direct, cutoff=float(cutoff),
         int_advance=int_advance, frac_advance=frac_advance,
         sinc_table=sinc_table, phase_table=phase_table,
+        fixed_point=fixed_point, interp_taps=interp_taps,
+        interp_coef=interp_coef,
     )

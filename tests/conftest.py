@@ -39,22 +39,34 @@ AUDIO_TESTS = [
 ]
 
 
-def _build_oracle():
-    ORACLE.parent.mkdir(exist_ok=True)
+ORACLE_FIXED = REPO / "build" / "oracle_fixed"
+
+
+def _build_oracle(exe=ORACLE, define="FLOATING_POINT"):
+    exe.parent.mkdir(exist_ok=True)
     src = REPO / "tests" / "oracle" / "oracle.c"
-    if ORACLE.exists() and ORACLE.stat().st_mtime > src.stat().st_mtime:
+    if exe.exists() and exe.stat().st_mtime > src.stat().st_mtime:
         return
     subprocess.run(
-        ["gcc", "-O2", "-DFLOATING_POINT", "-DOUTSIDE_SPEEX",
-         f"-I{REFERENCE}/deps/speex", str(src), "-lm", "-o", str(ORACLE)],
+        ["gcc", "-O2", f"-D{define}", "-DOUTSIDE_SPEEX",
+         f"-I{REFERENCE}/deps/speex", str(src), "-lm", "-o", str(exe)],
         check=True)
 
 
 @pytest.fixture(scope="session")
 def oracle():
-    """Path to the compiled reference oracle binary."""
+    """Path to the compiled reference oracle binary (float build — the
+    universe the shipped WASM artifact uses)."""
     _build_oracle()
     return ORACLE
+
+
+@pytest.fixture(scope="session")
+def oracle_fixed():
+    """The reference's OTHER numeric universe: -DFIXED_POINT
+    (arch.h:39-67), spx_word16_t = int16, Q15 integer hot loops."""
+    _build_oracle(ORACLE_FIXED, "FIXED_POINT")
+    return ORACLE_FIXED
 
 
 @pytest.fixture(scope="session")
@@ -63,7 +75,10 @@ def fixture_pcm():
     return {p.name: p.read_bytes() for p in RESOURCES.glob("*.pcm")}
 
 
-def oracle_tables(oracle_bin, channels, in_rate, out_rate, quality):
+def oracle_tables(oracle_bin, channels, in_rate, out_rate, quality,
+                  dtype=np.float32):
+    """dtype = np.float32 for the float oracle, np.int16 for the fixed one
+    (spx_word16_t of the respective build)."""
     out = subprocess.run(
         [str(oracle_bin), "tables", str(channels), str(in_rate),
          str(out_rate), str(quality)], capture_output=True,
@@ -76,7 +91,7 @@ def oracle_tables(oracle_bin, channels, in_rate, out_rate, quality):
     meta["cutoff"] = float(hdr[8])
     meta["in_latency"] = int(hdr[9])
     meta["out_latency"] = int(hdr[10])
-    table = np.frombuffer(out[nl + 1:], dtype=np.float32)
+    table = np.frombuffer(out[nl + 1:], dtype=dtype)
     return meta, table
 
 

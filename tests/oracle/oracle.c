@@ -9,6 +9,11 @@
  * (scripts/build_emscripten.sh:18-19): -DFLOATING_POINT -DOUTSIDE_SPEEX,
  * so spx_word16_t = float and no SIMD overrides.
  *
+ * The same source also builds the reference's OTHER numeric universe
+ * (-DFIXED_POINT -DOUTSIDE_SPEEX, arch.h:39-67): spx_word16_t = int16 and
+ * Q15 integer hot loops.  conftest builds both binaries; the few dump-format
+ * differences are handled with the same #ifdef the reference itself uses.
+ *
  * Including resample.c directly gives access to the internal
  * SpeexResamplerState_ struct (resample.c:116-146) for table/state dumps.
  */
@@ -47,15 +52,20 @@ static int cmd_tables(int argc, char **argv)
     if (!st)
         die("init failed");
     int use_direct =
-        (st->resampler_ptr == resampler_basic_direct_single ||
-         st->resampler_ptr == resampler_basic_direct_double);
+        (st->resampler_ptr == resampler_basic_direct_single
+#ifndef FIXED_POINT
+         || st->resampler_ptr == resampler_basic_direct_double
+#endif
+        );
     fprintf(stdout, "%u %u %u %u %d %u %d %d %.9g %d %d\n", st->num_rate,
             st->den_rate, st->filt_len, st->oversample, use_direct,
             st->sinc_table_length, st->int_advance, st->frac_advance,
             (double)st->cutoff, speex_resampler_get_input_latency(st),
             speex_resampler_get_output_latency(st));
     fflush(stdout);
-    fwrite(st->sinc_table, sizeof(float), st->sinc_table_length, stdout);
+    /* float build: raw f32 entries; fixed build: raw int16 entries */
+    fwrite(st->sinc_table, sizeof(spx_word16_t), st->sinc_table_length,
+           stdout);
     speex_resampler_destroy(st);
     return 0;
 }

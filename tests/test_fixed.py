@@ -1,0 +1,198 @@
+"""FIXED_POINT numeric universe: bit-exact parity vs the fixed-build oracle.
+
+The reference is a dual build (arch.h:39-67): the shipped WASM uses
+FLOATING_POINT, but -DFIXED_POINT selects spx_word16_t = int16 and Q15
+integer hot loops (fixed_generic.h:38-109, resample.c:275-316, fixed
+branches of :331-496).  This suite pins our fixed universe
+(ResamplerCore(fixed_point=True), ops/fixed_math, ops/fir_fixed) against
+the reference compiled with -DFIXED_POINT — with ZERO tolerated mismatches:
+wrapping int32 accumulation is order-independent, so the fixed universe has
+no floating-point tie caveats at all.
+"""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+from speex_resampler_tpu.core.resampler import ResamplerCore
+from speex_resampler_tpu.ops import filter_design as fd
+from speex_resampler_tpu.ops.fixed_math import cubic_coef_fixed
+
+from conftest import AUDIO_TESTS, oracle_process, oracle_tables
+
+import math
+
+
+def _spec(in_rate, out_rate, quality):
+    g = math.gcd(in_rate, out_rate)
+    return fd.design_filter(in_rate // g, out_rate // g, quality,
+                            fixed_point=True)
+
+
+def _pcm(fixture_pcm, name, in_rate, channels, seconds=2):
+    pcm = fixture_pcm[name][:seconds * in_rate * channels * 2]
+    return np.frombuffer(pcm, dtype=np.int16).reshape(-1, channels)
+
+
+def _ours_process(frames, channels, in_rate, out_rate, quality,
+                  chunk_frames=0, skip_zeros=False):
+    """Replicates the oracle `process` command's JS-wrapper loop
+    (retained growing output capacity, drop-unconsumed)."""
+    core = ResamplerCore(channels, in_rate, out_rate, in_rate, out_rate,
+                         quality, fixed_point=True)
+    if skip_zeros:
+        core.skip_zeros()
+    total = len(frames)
+    cf = chunk_frames if chunk_frames > 0 else total
+    outs, outbufsize = [], 0
+    for pos in range(0, total, cf):
+        fr = frames[pos:pos + cf]
+        outbufsize = max(outbufsize,
+                         (len(fr) * channels * 2 * out_rate + in_rate - 1)
+                         // in_rate)
+        outs.append(core.process_interleaved(fr, outbufsize // channels // 2))
+    return np.concatenate(outs)
+
+
+# ---------------------------------------------------------------------------
+# Tables
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name,in_rate,out_rate,channels,quality",
+                         AUDIO_TESTS)
+def test_fixed_tables_bit_identical(oracle_fixed, name, in_rate, out_rate,
+                                    channels, quality):
+    meta, table = oracle_tables(oracle_fixed, channels, in_rate, out_rate,
+                                quality, dtype=np.int16)
+    spec = _spec(in_rate, out_rate, quality)
+    assert spec.filt_len == meta["filt_len"]
+    assert spec.use_direct == bool(meta["use_direct"])
+    assert len(spec.sinc_table) == meta["table_len"]
+    assert spec.sinc_table.dtype == np.int16
+    assert np.array_equal(spec.sinc_table, table)
+
+
+def test_fixed_tables_q10_downsample(oracle_fixed):
+    """Longest table family: Q10 decimation (oversample halving path)."""
+    meta, table = oracle_tables(oracle_fixed, 1, 96000, 8000, 10,
+                                dtype=np.int16)
+    spec = _spec(96000, 8000, 10)
+    assert np.array_equal(spec.sinc_table, table)
+    assert spec.oversample == meta["oversample"]
+
+
+def test_cubic_coef_fixed_identity():
+    """Q15 coefficient rows must sum to 32768 after the +1 correction
+    (resample.c:313-315) — the DC-preservation invariant."""
+    c = cubic_coef_fixed(np.arange(0, 32768, dtype=np.int32))
+    s = c.astype(np.int64).sum(axis=-1)
+    # interp[2] gets +1 unless it saturated; total is 32768 or 32767
+    assert set(np.unique(s)) <= {32767, 32768}
+
+
+# ---------------------------------------------------------------------------
+# Golden outputs (zero mismatches)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name,in_rate,out_rate,channels,quality",
+                         AUDIO_TESTS)
+def test_fixed_matrix_bit_exact(oracle_fixed, fixture_pcm, tmp_path, name,
+                                in_rate, out_rate, channels, quality):
+    frames = _pcm(fixture_pcm, name, in_rate, channels)
+    golden = oracle_process(oracle_fixed, tmp_path, frames.tobytes(),
+                            channels, in_rate, out_rate, quality)
+    ours = _ours_process(frames, channels, in_rate, out_rate, quality)
+    assert np.array_equal(ours.reshape(-1), golden)
+
+    # duration invariant from src/test.ts:38-40
+    in_dur = len(frames) / in_rate
+    out_dur = len(ours) / out_rate
+    assert abs(in_dur - out_dur) < 0.01
+
+
+@pytest.mark.parametrize("chunk_frames", [160, 641, 2048])
+def test_fixed_streaming_bit_exact(oracle_fixed, fixture_pcm, tmp_path,
+                                   chunk_frames):
+    """Chunked streaming (state carry across launches) stays bit-exact."""
+    frames = _pcm(fixture_pcm, "44100hz_test.pcm", 44100, 2)
+    golden = oracle_process(oracle_fixed, tmp_path, frames.tobytes(), 2,
+                            44100, 48000, 7, chunk_frames=chunk_frames)
+    ours = _ours_process(frames, 2, 44100, 48000, 7,
+                         chunk_frames=chunk_frames)
+    assert np.array_equal(ours.reshape(-1), golden)
+
+
+def test_fixed_skip_zeros(oracle_fixed, fixture_pcm, tmp_path):
+    frames = _pcm(fixture_pcm, "24000hz_mono_test.pcm", 24000, 1)
+    golden = oracle_process(oracle_fixed, tmp_path, frames.tobytes(), 1,
+                            24000, 48000, 5, skip_zeros=True)
+    ours = _ours_process(frames, 1, 24000, 48000, 5, skip_zeros=True)
+    assert np.array_equal(ours.reshape(-1), golden)
+
+
+def test_fixed_float_api(oracle_fixed, fixture_pcm, tmp_path):
+    """speex_resampler_process_interleaved_float in the FIXED build:
+    float input is WORD2INT'ed into the int16 mem (resample.c:1002), output
+    is the int16 result stored to float (:1019-1022)."""
+    frames = _pcm(fixture_pcm, "44100hz_test.pcm", 44100, 2, seconds=1)
+    # float samples on the ±32768 scale incl. fractional values
+    f32 = frames.astype(np.float32) * np.float32(0.7) + np.float32(0.25)
+    inp = tmp_path / "in.f32"
+    outp = tmp_path / "out.f32"
+    f32.tofile(inp)
+    subprocess.run([str(oracle_fixed), "processf", "2", "44100", "48000",
+                    "7", "0", str(inp), str(outp)], check=True)
+    golden = np.fromfile(outp, dtype=np.float32)
+
+    core = ResamplerCore(2, 44100, 48000, 44100, 48000, 7, fixed_point=True)
+    cap = (len(f32) * 48000 + 44099) // 44100 + 1
+    ours = core.process_interleaved_float(f32, cap)
+    assert ours.dtype == np.float32
+    assert np.array_equal(ours.reshape(-1), golden)
+
+
+def test_fixed_setrate_migration(oracle_fixed, fixture_pcm, tmp_path):
+    """Mid-stream set_rate + set_quality with magic-sample migration
+    (resample.c:727-782) stays bit-exact in the fixed universe."""
+    frames = _pcm(fixture_pcm, "44100hz_test.pcm", 44100, 2, seconds=2)
+    inp = tmp_path / "in.pcm"
+    outp = tmp_path / "out.pcm"
+    inp.write_bytes(frames.tobytes())
+    chunk, switch = 1000, 20
+    subprocess.run([str(oracle_fixed), "setrate", "2", "44100", "48000",
+                    "7", str(chunk), str(inp), str(outp), str(switch),
+                    "44100", "24000", "5"], check=True)
+    raw = outp.read_bytes()
+    counts, outs, pos = [], [], 0
+    while pos < len(raw):
+        n = int(np.frombuffer(raw[pos:pos + 4], dtype=np.uint32)[0])
+        pos += 4
+        outs.append(np.frombuffer(raw[pos:pos + n * 4], dtype=np.int16))
+        pos += n * 4
+        counts.append(n)
+    golden = np.concatenate(outs)
+
+    core = ResamplerCore(2, 44100, 48000, 44100, 48000, 7, fixed_point=True)
+    ours, cur = [], (44100, 48000)
+    for idx, pos in enumerate(range(0, len(frames), chunk)):
+        if idx == switch:
+            core.set_rate(44100, 24000)
+            core.set_quality(5)
+            cur = (44100, 24000)
+        fr = frames[pos:pos + chunk]
+        cap = (len(fr) * 2 * 2 * cur[1] + cur[0] - 1) // cur[0] // 4 + 64
+        y = core.process_interleaved(fr, cap)
+        assert len(y) == counts[idx]
+        ours.append(y.reshape(-1))
+    assert np.array_equal(np.concatenate(ours), golden)
+
+
+def test_fixed_direct_output_scale(oracle_fixed, tmp_path):
+    """Sanity: direct-path fixed output tracks input scale (Q15 taps sum
+    ~cutoff·32768, SATURATE32PSHR(,15) restores sample scale)."""
+    t = np.arange(24000, dtype=np.float64) / 24000.0
+    tone = (10000 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)[:, None]
+    ours = _ours_process(tone, 1, 24000, 48000, 5)
+    mid = ours[1000:-1000]
+    assert 9000 < np.abs(mid.astype(np.int32)).max() <= 11000
