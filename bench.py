@@ -59,11 +59,12 @@ REPO = Path(__file__).resolve().parent
 
 
 def measure_config(in_rate, out_rate, quality, *, use_pallas,
-                   target_in_frames=TARGET_IN_FRAMES):
+                   target_in_frames=TARGET_IN_FRAMES, fixed_point=False):
     """Median scan-slope per-launch seconds + geometry for one config."""
     B = N_STREAMS * CHANNELS
     g = math.gcd(in_rate, out_rate)
-    spec = fd.design_filter(in_rate // g, out_rate // g, quality)
+    spec = fd.design_filter(in_rate // g, out_rate // g, quality,
+                            fixed_point=fixed_point)
     bspec = _launch_geometry(spec, target_in_frames, use_pallas=use_pallas)
     bstep = make_batched_step(spec, bspec, use_pallas=use_pallas)
     step, w = bstep.fn, bstep.w
@@ -123,15 +124,18 @@ def measure_config(in_rate, out_rate, quality, *, use_pallas,
     }
 
 
-def oracle_cpu_baseline(in_rate, out_rate, quality, seconds=1.5):
+def oracle_cpu_baseline(in_rate, out_rate, quality, seconds=1.5,
+                        fixed_point=False):
     """Measured throughput of the reference C core, -O3, on this host."""
-    exe = REPO / "build" / "oracle_bench"
+    define = "FIXED_POINT" if fixed_point else "FLOATING_POINT"
+    exe = REPO / "build" / ("oracle_bench_fixed" if fixed_point
+                            else "oracle_bench")
     src = REPO / "tests" / "oracle" / "oracle.c"
     try:
         if not (exe.exists() and exe.stat().st_mtime > src.stat().st_mtime):
             exe.parent.mkdir(exist_ok=True)
             subprocess.run(
-                ["gcc", "-O3", "-DFLOATING_POINT", "-DOUTSIDE_SPEEX",
+                ["gcc", "-O3", f"-D{define}", "-DOUTSIDE_SPEEX",
                  "-I/root/reference/deps/speex", str(src), "-lm",
                  "-o", str(exe)], check=True)
         out = subprocess.run(
@@ -156,6 +160,21 @@ def main():
         m = measure_config(ir, orate, q, use_pallas=use_pallas)
         ref = oracle_cpu_baseline(ir, orate, q)
         sweep[f"{ir}->{orate} q{q}"] = {
+            k: m[k] for k in ("kernel", "scheme", "launch_ms",
+                              "out_samples_per_sec", "in_samples_per_sec")
+        } | {"vs_reference_cpu": (
+            round(m["out_samples_per_sec"]
+                  / ref["out_samples_per_sec"], 1)
+            if "out_samples_per_sec" in ref else None)}
+
+    # FIXED_POINT universe (bit-exact Q15, scheme "fixed": exact int8-plane
+    # MXU passes) — the flagship and the fastest direct-path family
+    fixed = {}
+    for (ir, orate, q) in [FLAGSHIP, (24000, 48000, 5)]:
+        m = measure_config(ir, orate, q, use_pallas=use_pallas,
+                           fixed_point=True)
+        ref = oracle_cpu_baseline(ir, orate, q, fixed_point=True)
+        fixed[f"{ir}->{orate} q{q}"] = {
             k: m[k] for k in ("kernel", "scheme", "launch_ms",
                               "out_samples_per_sec", "in_samples_per_sec")
         } | {"vs_reference_cpu": (
@@ -203,6 +222,7 @@ def main():
             "in_frames_per_launch": flag["in_frames_per_launch"],
             "out_frames_per_launch": flag["out_frames_per_launch"],
             "sweep": sweep,
+            "fixed_point_universe": fixed,
         },
     }
     print(json.dumps(result))

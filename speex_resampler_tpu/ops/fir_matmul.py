@@ -32,7 +32,8 @@ from jax import lax
 from .convert import word2int
 
 __all__ = ["choose_group", "resample_conv", "resample_conv_tm",
-           "resample_gather", "MAX_PADDED_WEIGHT_BYTES"]
+           "resample_gather", "MAX_PADDED_WEIGHT_BYTES",
+           "fixed_weight_planes", "resample_conv_tm_fixed"]
 
 # Above this padded-weight size the gather fallback is used instead.
 MAX_PADDED_WEIGHT_BYTES = 32 * 1024 * 1024
@@ -144,3 +145,135 @@ def resample_gather(x, taps, starts, *, tile: int = 2048,
     if raw:
         return y.astype(jnp.float32)
     return word2int(y)
+
+
+# ---------------------------------------------------------------------------
+# FIXED_POINT universe device path.
+#
+# The fixed hot loops accumulate int16*int16 products in a wrapping int32
+# (resample.c:331-384/:438-496, FIXED_POINT branches).  Wrapping addition is
+# associative mod 2^32, so ANY regrouping — including the MXU's — is
+# bit-exact.  An int16 x int16 -> int32 dot decomposes EXACTLY into four
+# int8 MXU passes plus cheap rank-1 corrections:
+#
+#     w = 256*wh + (wl0 + 128),  x = 256*xh + (xl0 + 128)
+#     with wh = w>>8, wl0 = (w & 255) - 128  (all planes fit int8), so
+#     sum_L w*x = [65536*wh.xh + 256*(wh.xl0 + wl0.xh) + wl0.xl0]
+#               + 128*sum_L(w) + 128*sum_L(x) - 16384*L        (mod 2^32)
+#
+# sum_L(w) is a host constant per output column; sum_L(x) is a sliding
+# window sum obtained from a cumulative sum (one VPU pass).  Per-plane int8
+# dot sums are bounded by 16384*L < 2^31 for every realizable L, so the MXU
+# int32 accumulators never wrap mid-plane; all combining is int32 (wraps
+# exactly like the C accumulator).
+#
+# This makes the fixed universe the cheapest compute path of all: 4 int8
+# passes ~ 2 bf16-equivalents, vs 5 (split5) / 6 (HIGHEST) for the float
+# build — and exact by construction, with no certificate needed.
+# ---------------------------------------------------------------------------
+
+
+def fixed_weight_planes(w16: "np.ndarray"):
+    """Host-side exact plane decomposition of an int16 weight matrix.
+
+    w16: int16 [L, C] (C = R direct columns, or 4*R interp accumulator
+    columns).  Returns (wh int8[L,C], wl0 int8[L,C], rowsum int32[C]) with
+    rowsum[c] = sum_L w16[l, c]."""
+    import numpy as np
+    w32 = w16.astype(np.int32)
+    wh = (w32 >> 8).astype(np.int8)
+    wl0 = ((w32 & 255) - 128).astype(np.int8)
+    rowsum = w32.sum(axis=0, dtype=np.int32)
+    return wh, wl0, rowsum
+
+
+def _exact_i16_dot(xa, wh_a, wl0_a):
+    """One a-slice's exact plane contraction (no corrections).
+
+    xa: int16 [n, s, B]; wh_a/wl0_a: int8 [C, s].  Returns int32 [n, C, B]
+    = sum_s (w-128-planes) contributions, i.e. sum_s a_w * a_x where
+    a_w = w - 128, a_x = x - 128 (corrections added once by the caller)."""
+    xh = (xa >> 8).astype(jnp.int8)
+    xl0 = ((xa & 255) - 128).astype(jnp.int8)
+
+    def dot(wp, xp):
+        return jnp.einsum("cs,nsb->ncb", wp, xp,
+                          preferred_element_type=jnp.int32)
+
+    hh = dot(wh_a, xh)
+    hl = dot(wh_a, xl0)
+    lh = dot(wl0_a, xh)
+    ll = dot(wl0_a, xl0)
+    return (hh << 16) + ((hl + lh) << 8) + ll
+
+
+def _sat32pshr15_jax(s):
+    """SATURATE32PSHR(s, 15, 32767) + int16 store (jnp twin of
+    ops/fixed_math.saturate32pshr)."""
+    hi = jnp.int32(32767 << 15)
+    r = (s + jnp.int32(1 << 14)) >> 15
+    return jnp.where(s >= hi, 32767,
+                     jnp.where(s <= -hi, -32767, r)).astype(jnp.int16)
+
+
+def _interp_mix_jax(accum, coef):
+    """jnp twin of ops/fixed_math.interp_mix_fixed.
+
+    accum: int32 [..., 4]; coef: int32 [..., 4] (int16 values).  Returns
+    int16 [...]: sum_k MULT16_32_Q15(coef_k, accum_k >> 1), saturated."""
+    b = accum >> 1
+    terms = coef * (b >> 15) + ((coef * (b & jnp.int32(0x7FFF))) >> 15)
+    s = terms[..., 0] + terms[..., 1] + terms[..., 2] + terms[..., 3]
+    return _sat32pshr15_jax(s)
+
+
+@partial(jax.jit, static_argnames=("stride", "n_accum"))
+def resample_conv_tm_fixed(x, w_planes, *, stride: int, n_accum: int = 1):
+    """FIXED_POINT launch, time-major dense geometry (bit-exact).
+
+    x:        int16 [T, B], T % stride == 0
+    w_planes: (wh int8[L, C], wl0 int8[L, C], rowsum int32[C][, coef
+              int32[R, 4]]) from fixed_weight_planes (+ per-column Q15
+              cubic coefficients when n_accum == 4), L % stride == 0,
+              C = n_accum * R
+    returns   int16 [n_blocks*R, B]
+
+    n_accum == 1: direct path — epilogue SATURATE32PSHR(sum, 15, 32767).
+    n_accum == 4: interpolated path — four explicit accumulator columns per
+    output (column order c-minor: column r*4+k is accumulator k of output
+    r), mixed with the exact integer cubic epilogue.
+    """
+    if n_accum == 4:
+        wh, wl0, rowsum, coef = w_planes
+    else:
+        wh, wl0, rowsum = w_planes
+    L, C = wh.shape
+    T, B = x.shape
+    assert T % stride == 0 and L % stride == 0, (T, L, stride)
+    A = L // stride
+    n_blocks = T // stride - A
+
+    xr = x.reshape(T // stride, stride, B)
+    whA = wh.reshape(A, stride, C).transpose(0, 2, 1)   # [A, C, s]
+    wlA = wl0.reshape(A, stride, C).transpose(0, 2, 1)
+    acc = jnp.zeros((n_blocks, C, B), dtype=jnp.int32)
+    for a in range(A):
+        xa = lax.dynamic_slice_in_dim(xr, a, n_blocks, axis=0)
+        acc = acc + _exact_i16_dot(xa, whA[a], wlA[a])
+
+    # corrections: + 128*sum_L(w) + 128*sum_L(x) - 16384*L  (mod 2^32)
+    cs = jnp.cumsum(x.astype(jnp.int32), axis=0)         # wrap-safe
+    cs = jnp.concatenate([jnp.zeros((1, B), jnp.int32), cs], axis=0)
+    cs_s = cs[:-1].reshape(T // stride, stride, B)[:, 0]  # cs at k*stride
+    colsum = lax.dynamic_slice_in_dim(cs_s, A, n_blocks, axis=0) \
+        - cs_s[:n_blocks]                                # [n_blocks, B]
+    s = (acc + (rowsum[None, :, None] << 7)
+         + (colsum[:, None, :] << 7) - jnp.int32(16384 * L))
+
+    if n_accum == 4:
+        R = C // 4
+        s4 = s.reshape(n_blocks, R, 4, B).transpose(0, 1, 3, 2)
+        y = _interp_mix_jax(s4, coef[None, :, None, :])  # [n_blocks, R, B]
+    else:
+        y = _sat32pshr15_jax(s)
+    return y.reshape(n_blocks * (C // n_accum), B)

@@ -118,6 +118,55 @@ def _dot_int8(plane, bias_row, u32, scales):
     return acc + bias_row[:, None]
 
 
+def fixed_weight_planes_tiled(w16, n_accum: int = 1):
+    """Host-side EXACT plane decomposition for the "fixed" scheme
+    (FIXED_POINT universe, int16 taps).
+
+    Realizable Q15 taps satisfy |w| <= 32768*cutoff < 32639 (cutoff <= .975,
+    resample.c:226-238), so a balanced base-256 split w = 256*wh + wl0 with
+    wh, wl0 in [-128, 127] is exact with NO constant term; the input's
+    +128 plane lands in a per-output int32 bias of 128*sum_K(w) — making
+    the int16 x int16 dot exactly four int8 MXU passes plus a bias add.
+
+    w16: int16 [P, K, C] tiled weights (C = R, or n_accum*R with the
+    accumulator index MAJOR: column c*R + r).  Returns
+    (planes int8 [2, P, C, K]  — pre-transposed to the kernel's [R, K]
+    operand layout, bias int32 [P, C])."""
+    w32 = np.asarray(w16).astype(np.int32)
+    assert np.abs(w32).max() < 32639, "tap exceeds exact 2-plane range"
+    wl0 = ((w32 + 128) & 255) - 128
+    wh = (w32 - wl0) >> 8
+    assert np.abs(wh).max() <= 127 and (w32 == 256 * wh + wl0).all()
+    planes = np.stack([wh, wl0]).astype(np.int8).transpose(0, 1, 3, 2)
+    bias = (w32.sum(axis=1, dtype=np.int32) << 7)  # [P, C]
+    return np.ascontiguousarray(planes), bias
+
+
+def _sat32pshr15(s):
+    """SATURATE32PSHR(s, 15, 32767) + int16 store (fixed_generic.h:55-57),
+    the fixed direct-path epilogue — VPU int32 ops, fused in-kernel."""
+    hi = jnp.int32(32767 << 15)
+    r = (s + jnp.int32(1 << 14)) >> 15
+    return jnp.where(s >= hi, 32767,
+                     jnp.where(s <= -hi, -32767, r)).astype(jnp.int16)
+
+
+def _dot_fixed(plane, bias_row, u16):
+    """Exact fixed-universe dot: 4 int8 MXU passes, int32 wrap combine.
+
+    plane(0)=wh, plane(1)=wl0 (int8 [R, K]); u16: int16 scratch [K, lb];
+    bias_row: int32 [R].  Returns the exact (mod 2^32) int32 sum
+    sum_K w*x — bit-identical to the C accumulator, any summation order."""
+    u32 = u16.astype(jnp.int32)
+    xh = (u32 >> 8).astype(jnp.int8)
+    xl = ((u32 & 255) - 128).astype(jnp.int8)
+    d = functools.partial(jnp.dot, preferred_element_type=jnp.int32)
+    wh, wl = plane(0), plane(1)
+    acc = ((d(wh, xh) << 16) + ((d(wh, xl) + d(wl, xh)) << 8)
+           + d(wl, xl))
+    return acc + bias_row[:, None]
+
+
 def _dot_scheme(plane, xf, scheme: str):
     """One output block's matmul under the selected precision scheme.
 
@@ -296,8 +345,12 @@ def _v3_parts(off: int, S: int, K: int, H: int, j_case):
 
 def _kernel_v3(w_ref, *rest, offs: tuple, S: int, K: int, H: int,
                n_views: int, gp: int, scheme: str = "highest",
-               scales: tuple = ()):
-    if scheme == "int8":
+               scales: tuple = (), n_accum: int = 1):
+    coef_ref = None
+    if scheme == "fixed" and n_accum == 4:
+        b_ref, coef_ref, h_ref = rest[0], rest[1], rest[2]
+        rest = rest[3:]
+    elif scheme in ("int8", "fixed"):
         b_ref, h_ref = rest[0], rest[1]
         rest = rest[2:]
     else:
@@ -349,7 +402,23 @@ def _kernel_v3(w_ref, *rest, offs: tuple, S: int, K: int, H: int,
                         # of the program (j == 0 when this fires)
                         assemble(plan, g)
             # precision scheme is load-bearing; see _dot_scheme/_kernel.
-            if scheme == "int8":
+            if scheme == "fixed":
+                acc = _dot_fixed(lambda p: w_ref[p, m], b_ref[m],
+                                 scratch[...])
+                if n_accum == 4:
+                    # fixed interpolate epilogue (resample.c:474-479):
+                    # four accumulator row groups (c-major), integer cubic
+                    # mix with truncating shifts, then saturate
+                    R = acc.shape[0] // 4
+                    s = jnp.zeros((R, acc.shape[1]), jnp.int32)
+                    for c in range(4):
+                        b = acc[c * R:(c + 1) * R] >> 1
+                        a = coef_ref[m, c][:, None]
+                        s = s + a * (b >> 15) \
+                            + ((a * (b & jnp.int32(0x7FFF))) >> 15)
+                    acc = s
+                o_ref[g * P + m] = _sat32pshr15(acc)
+            elif scheme == "int8":
                 acc = _dot_int8(lambda p: w_ref[p, m], b_ref[m],
                                 scratch[...].astype(jnp.int32), scales)
                 o_ref[g * P + m] = _word2int(acc)
@@ -369,12 +438,12 @@ def _v3_periods_per_program(P: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("offsets", "S", "n_blocks",
                                              "interpret", "lane_tile",
-                                             "scheme", "scales"))
+                                             "scheme", "scales", "n_accum"))
 def resample_conv_tm_pallas_v3(hist, x, w, offsets: tuple, *, S: int,
                                n_blocks: int, interpret: bool = False,
                                lane_tile: int | None = None,
                                scheme: str = "highest",
-                               scales: tuple = ()):
+                               scales: tuple = (), n_accum: int = 1):
     """Concat-free phase-tiled launch.
 
     hist: int16[H, B]      H = round16(filt_len-1) trailing samples
@@ -388,8 +457,28 @@ def resample_conv_tm_pallas_v3(hist, x, w, offsets: tuple, *, S: int,
     returns int16[n_blocks * R, B];  n_blocks // P must be a multiple of
     _v3_periods_per_program(P).
     """
-    bias = None
-    if scheme == "int8":
+    bias = coef = None
+    if scheme == "fixed":
+        # exact FIXED_POINT universe: w = (planes int8[2, P, C, K] ALREADY
+        # in [R, K] operand layout (fixed_weight_planes_tiled), bias
+        # int32[P, C][, coef int32[P, 4, R] when n_accum == 4]); C = R or 4R
+        if n_accum == 4:
+            wT, bias, coef = w
+        else:
+            wT, bias = w
+        assert wT.dtype == jnp.int8, wT.dtype
+        _, P, C, K = wT.shape
+        R = C // n_accum
+        w_bytes = 2 * P * C * K + P * C * 4 + (P * 4 * R * 4
+                                               if n_accum == 4 else 0)
+        w_specs = [pl.BlockSpec((2, P, C, K), lambda i, j: (0, 0, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((P, C), lambda i, j: (0, 0),
+                                memory_space=pltpu.VMEM)]
+        if n_accum == 4:
+            w_specs.append(pl.BlockSpec((P, 4, R), lambda i, j: (0, 0, 0),
+                                        memory_space=pltpu.VMEM))
+    elif scheme == "int8":
         planes, bias = w
         assert planes.dtype == jnp.int8, planes.dtype
         D, P, K, R = planes.shape
@@ -454,11 +543,17 @@ def resample_conv_tm_pallas_v3(hist, x, w, offsets: tuple, *, S: int,
                                         n_chunk_blocks - 1), i),
             memory_space=pltpu.VMEM)
 
-    scratch_dtype = jnp.int16 if scheme == "int8" else jnp.float32
-    operands = ((wT, bias) if scheme == "int8" else (wT,))
+    scratch_dtype = jnp.int16 if scheme in ("int8", "fixed") else jnp.float32
+    if scheme == "fixed":
+        operands = (wT, bias) + ((coef,) if n_accum == 4 else ())
+    elif scheme == "int8":
+        operands = (wT, bias)
+    else:
+        operands = (wT,)
     y = pl.pallas_call(
         functools.partial(_kernel_v3, offs=tuple(offsets), S=S, K=K, H=H,
-                          n_views=V, gp=gp, scheme=scheme, scales=scales),
+                          n_views=V, gp=gp, scheme=scheme, scales=scales,
+                          n_accum=n_accum),
         grid=(n_lane_tiles, n_periods // gp),
         in_specs=w_specs + [
             pl.BlockSpec((H, lb), lambda i, j: (0, i),

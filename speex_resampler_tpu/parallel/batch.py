@@ -62,6 +62,11 @@ _MAX_STREAMED_WEIGHT_BYTES = 256 * 1024 * 1024
 _INT8_CERT_GATE = 0.20
 _INT8_CERT_MAX = 0.35
 
+# fixed-universe tiled planes (2 int8 planes per int16 weight column; the
+# interpolated path carries 4 accumulator columns per output) may use more
+# VMEM than the float cap — the kernel's lane tile auto-shrinks to fit
+_MAX_FIXED_TILED_WEIGHT_BYTES = 6 * 1024 * 1024
+
 
 @dataclasses.dataclass(frozen=True)
 class BatchSpec:
@@ -151,10 +156,15 @@ def _hist_rows_tiled(filt_len: int) -> int:
     return -(-(filt_len - 1) // 16) * 16
 
 
-def _tiled_weights(spec: fd.FilterSpec, f0: int = 0):
+def _tiled_weights(spec: fd.FilterSpec, f0: int = 0, component: int = 0):
     H = _hist_rows_tiled(spec.filt_len)
+    pt = spec.phase_table
+    if spec.fixed_point and not spec.use_direct:
+        # fixed interpolate carries 4 accumulator tap planes; any component
+        # yields the same geometry (offsets/S/K depend on shapes only)
+        pt = spec.interp_taps[:, component, :]
     return ph.build_phase_tiled_weights(
-        spec.phase_table, spec.num, spec.den, f0,
+        pt, spec.num, spec.den, f0,
         origin_shift=H - (spec.filt_len - 1))
 
 
@@ -178,6 +188,26 @@ class BatchedStep:
 
 def _launch_geometry(spec: fd.FilterSpec, target_in_frames: int,
                      use_pallas: bool = False, f0: int = 0) -> BatchSpec:
+    if spec.fixed_point:
+        # FIXED universe: Pallas tiled kernel with the exact int8-plane
+        # scheme when the planes fit VMEM residency, else the dense XLA
+        # path (XLA's int8 GEMM lowering is slow — experiments/
+        # fixed_formulation_bench.py — but stays well above 1 G/s)
+        if use_pallas:
+            ptw = _tiled_weights(spec, f0)
+            n_cols = 1 if spec.use_direct else 4
+            if ptw.w.nbytes * n_cols <= _MAX_FIXED_TILED_WEIGHT_BYTES:
+                gp = 1
+                from ..ops import pallas_fir
+                gp = pallas_fir._v3_periods_per_program(ptw.P)
+                n_periods = max(gp,
+                                round(target_in_frames / (ptw.S * gp)) * gp)
+                return BatchSpec(num=spec.num, den=spec.den,
+                                 quality=spec.quality,
+                                 filt_len=spec.filt_len, group=1,
+                                 n_blocks=n_periods * ptw.P, f0=f0,
+                                 kernel="tiled", S=ptw.S, P=ptw.P, R=ptw.R)
+        use_pallas = False
     if use_pallas:
         from ..ops import pallas_fir
         ptw = _tiled_weights(spec, f0)
@@ -231,7 +261,9 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
     N = spec.filt_len
     n_in = bspec.in_per_launch
     n_out = bspec.out_per_launch
-    if use_pallas is None:
+    if spec.fixed_point:
+        use_pallas = bspec.kernel == "tiled"
+    elif use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
 
     def _wrap(step_impl):
@@ -289,11 +321,16 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
         assert use_pallas, "tiled geometry requires the Pallas kernel"
         from ..ops import pallas_fir
         ptw = _tiled_weights(spec, bspec.f0)
-        # int8 (2*D MXU passes at 2x rate ~ D bf16-equivalents, D=3 or 4)
-        # wins over split5 when its rigorous worst-case certificate leaves
-        # comfortable margin inside the <=1 LSB / tie-rate contract.
-        scheme, int8p, scales = _resolve_scheme(pallas_fir, ptw.w, scheme,
-                                                pallas_interpret)
+        n_accum = 1
+        if spec.fixed_point:
+            scheme, scales = "fixed", ()
+        else:
+            # int8 (2*D MXU passes at 2x rate ~ D bf16-equivalents, D=3/4)
+            # wins over split5 when its rigorous worst-case certificate
+            # leaves comfortable margin inside the <=1 LSB contract.
+            scheme, int8p, scales = _resolve_scheme(pallas_fir, ptw.w,
+                                                    scheme,
+                                                    pallas_interpret)
         assert (ptw.S, ptw.P, ptw.R) == (bspec.S, bspec.P, bspec.R)
         H = _hist_rows_tiled(N)
         n_periods = bspec.n_blocks // ptw.P
@@ -302,7 +339,28 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
         V = pallas_fir._v3_views(ptw.S, ptw.K, H, ptw.offsets) + (gp - 1)
         chunk_rows = (n_periods - back + V - (gp - 1) + (gp - 1)) * ptw.S
         offsets = tuple(int(o) for o in ptw.offsets)
-        if scheme == "int8":
+        if scheme == "fixed":
+            if spec.use_direct:
+                w_cat = ptw.w
+            else:
+                n_accum = 4
+                comps = [ptw.w]
+                for c in range(1, 4):
+                    pc = _tiled_weights(spec, bspec.f0, component=c)
+                    assert pc.offsets.tolist() == list(offsets)
+                    comps.append(pc.w)
+                w_cat = np.concatenate(comps, axis=2)  # c-major columns
+            planes, bias = pallas_fir.fixed_weight_planes_tiled(w_cat)
+            w_host = (jnp.asarray(planes), jnp.asarray(bias))
+            if n_accum == 4:
+                # per-block-phase Q15 cubic coefficients [P, 4, R]
+                r = np.arange(ptw.R, dtype=np.int64)
+                coef = np.empty((ptw.P, 4, ptw.R), dtype=np.int32)
+                for m in range(ptw.P):
+                    p = (bspec.f0 + (m * ptw.R + r) * spec.num) % spec.den
+                    coef[m] = spec.interp_coef[p].T
+                w_host = w_host + (jnp.asarray(coef),)
+        elif scheme == "int8":
             w_host = (jnp.asarray(int8p[0]), jnp.asarray(int8p[1]))
         elif scheme == "split5":
             w_host = jnp.asarray(pallas_fir.split5_weights(ptw.w))
@@ -312,7 +370,7 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
                                  offsets=offsets, S=ptw.S,
                                  n_blocks=bspec.n_blocks,
                                  interpret=pallas_interpret, scheme=scheme,
-                                 scales=scales)
+                                 scales=scales, n_accum=n_accum)
 
         def step(hist, x, w):
             y = conv(hist, x, w)[:n_out]
@@ -323,6 +381,51 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
                            zero_tail=ptw.K, scheme=scheme)
 
     stride = bspec.stride
+
+    if spec.fixed_point:
+        # FIXED_POINT universe: exact int8-plane matmul (bit-exact vs the
+        # fixed oracle — wrapping int32 sums are order-independent, see
+        # ops/fir_matmul.resample_conv_tm_fixed).
+        assert bspec.kernel == "dense"
+        if spec.use_direct:
+            w_np = ph.build_padded_weights(spec.phase_table, spec.num,
+                                           spec.den, bspec.f0, bspec.group)
+            n_accum = 1
+        else:
+            # four explicit accumulator columns per output (the integer
+            # cubic mix is nonlinear in the taps), column order c-minor
+            comps = [ph.build_padded_weights(spec.interp_taps[:, c, :],
+                                             spec.num, spec.den, bspec.f0,
+                                             bspec.group) for c in range(4)]
+            w_np = np.stack(comps, axis=2).reshape(comps[0].shape[0], -1)
+            n_accum = 4
+        L_pad = -(-w_np.shape[0] // stride) * stride
+        if L_pad != w_np.shape[0]:
+            w_np = np.pad(w_np, ((0, L_pad - w_np.shape[0]), (0, 0)))
+        A = L_pad // stride
+        T = (bspec.n_blocks + A) * stride
+        pad = T - (N - 1 + n_in)
+        assert pad >= 0
+        planes = fm.fixed_weight_planes(w_np)
+        w_host = tuple(jnp.asarray(p) for p in planes)
+        if n_accum == 4:
+            bc = ph.block_constants(spec.num, spec.den, bspec.f0,
+                                    bspec.group)
+            coef = spec.interp_coef[bc.p].astype(np.int32)  # [R, 4]
+            w_host = w_host + (jnp.asarray(coef),)
+        conv = functools.partial(fm.resample_conv_tm_fixed, stride=stride,
+                                 n_accum=n_accum)
+
+        def step(hist, x, w):
+            X = jnp.concatenate(
+                [hist, x, jnp.zeros((pad, x.shape[1]), dtype=jnp.int16)],
+                axis=0)
+            y = conv(X, w)[:n_out]
+            return jax.lax.dynamic_slice_in_dim(X, n_in, N - 1, axis=0), y
+
+        return BatchedStep(fn=_wrap(step), w=w_host, hist_rows=N - 1,
+                           chunk_rows=n_in, zero_tail=0, scheme="fixed")
+
     w_np = ph.build_padded_weights(spec.phase_table, spec.num, spec.den,
                                    bspec.f0, bspec.group)
     L_pad = -(-w_np.shape[0] // stride) * stride
@@ -386,7 +489,8 @@ class BatchedResampler:
                  axis: str = "streams",
                  use_pallas: bool | None = None,
                  pallas_interpret: bool = False,
-                 scheme: str = "auto"):
+                 scheme: str = "auto",
+                 fixed_point: bool = False):
         if n_streams <= 0 or channels <= 0:
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
         if in_rate <= 0 or out_rate <= 0:
@@ -395,8 +499,10 @@ class BatchedResampler:
         self.channels = channels
         self.in_rate = in_rate
         self.out_rate = out_rate
+        self.fixed_point = bool(fixed_point)
         g = math.gcd(in_rate, out_rate)
-        self.spec = fd.design_filter(in_rate // g, out_rate // g, quality)
+        self.spec = fd.design_filter(in_rate // g, out_rate // g, quality,
+                                     fixed_point=fixed_point)
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.B = n_streams * channels
@@ -543,6 +649,7 @@ class BatchedResampler:
         return {
             "in_rate": self.in_rate, "out_rate": self.out_rate,
             "quality": self.spec.quality,
+            "fixed_point": self.fixed_point,
             "n_streams": self.n_streams, "channels": self.channels,
             "hist": to_host(self._hist),
             "staged": self._staged.copy(),
@@ -555,7 +662,8 @@ class BatchedResampler:
         if (state["n_streams"], state["channels"]) != (self.n_streams,
                                                        self.channels) or \
                 (state["in_rate"], state["out_rate"], state["quality"]) != \
-                (self.in_rate, self.out_rate, self.spec.quality):
+                (self.in_rate, self.out_rate, self.spec.quality) or \
+                state.get("fixed_point", False) != self.fixed_point:
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
         f0 = int(state.get("f0", 0))
         if f0 != self._f0:

@@ -16,6 +16,7 @@ import numpy as np
 import pytest
 
 from speex_resampler_tpu.core.resampler import ResamplerCore
+from speex_resampler_tpu.parallel.batch import BatchedResampler
 from speex_resampler_tpu.ops import filter_design as fd
 from speex_resampler_tpu.ops.fixed_math import cubic_coef_fixed
 
@@ -196,3 +197,100 @@ def test_fixed_direct_output_scale(oracle_fixed, tmp_path):
     ours = _ours_process(tone, 1, 24000, 48000, 5)
     mid = ours[1000:-1000]
     assert 9000 < np.abs(mid.astype(np.int32)).max() <= 11000
+
+
+# ---------------------------------------------------------------------------
+# Batched device engine (exact int8-plane MXU formulation)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("ir,orr,q", [
+    (24000, 48000, 5),    # direct, small den
+    (44100, 48000, 7),    # interpolated (4 explicit accumulators)
+    (48000, 44100, 10),   # interpolated downsample, long filter
+])
+def test_fixed_batched_equals_cores(ir, orr, q):
+    """BatchedResampler(fixed_point=True) must equal independent fixed
+    cores BIT-EXACTLY (not <=1 LSB): the int8-plane decomposition of the
+    int16 dot is exact and wrapping int32 sums are order-independent."""
+    rng = np.random.default_rng(3)
+    S, C, n = 3, 2, 3000
+    eng = BatchedResampler(S, C, ir, orr, q, target_chunk_frames=512,
+                           fixed_point=True)
+    frames = rng.integers(-32768, 32768, size=(S, n, C)).astype(np.int16)
+    outs = [eng.process(frames[:, p:p + 997]) for p in range(0, n, 997)]
+    outs.append(eng.flush())
+    y = np.concatenate(outs, axis=1)
+    for s in range(S):
+        core = ResamplerCore(C, ir, orr, ir, orr, q, fixed_point=True)
+        ref = core.process_interleaved(frames[s], 10 ** 9)
+        assert y.shape[1] <= len(ref)
+        assert np.array_equal(y[s], ref[:y.shape[1]])
+
+
+def test_fixed_batched_mesh_sharded():
+    """Fixed engine under an 8-device mesh: sharded == unsharded, bit-equal
+    (streams are share-nothing; zero collectives)."""
+    import jax
+    devs = jax.devices("cpu")[:8]
+    mesh = jax.sharding.Mesh(np.array(devs), ("streams",))
+    rng = np.random.default_rng(11)
+    S, C, n = 8, 2, 2048
+    frames = rng.integers(-32768, 32768, size=(S, n, C)).astype(np.int16)
+    kw = dict(target_chunk_frames=512, fixed_point=True)
+    e1 = BatchedResampler(S, C, 44100, 48000, 7, **kw)
+    e2 = BatchedResampler(S, C, 44100, 48000, 7, mesh=mesh, **kw)
+    y1 = e1.process(frames)
+    y2 = e2.process(frames)
+    assert y1.shape == y2.shape and np.array_equal(y1, y2)
+
+
+def test_fixed_batched_checkpoint_roundtrip():
+    rng = np.random.default_rng(5)
+    S, C = 2, 1
+    frames = rng.integers(-32768, 32768, size=(S, 3000, 1)).astype(np.int16)
+    e1 = BatchedResampler(S, C, 44100, 48000, 7, target_chunk_frames=512,
+                          fixed_point=True)
+    y0 = e1.process(frames[:, :1500])
+    snap = e1.state_dict()
+    ya = e1.process(frames[:, 1500:])
+    e2 = BatchedResampler(S, C, 44100, 48000, 7, target_chunk_frames=512,
+                          fixed_point=True)
+    e2.load_state_dict(snap)
+    yb = e2.process(frames[:, 1500:])
+    assert np.array_equal(ya, yb)
+    # float engine must refuse a fixed snapshot
+    e3 = BatchedResampler(S, C, 44100, 48000, 7, target_chunk_frames=512)
+    with pytest.raises(Exception):
+        e3.load_state_dict(snap)
+
+
+@pytest.mark.parametrize("ir,orr,q", [
+    (24000, 48000, 5),    # direct: 4 exact int8 passes
+    (44100, 48000, 7),    # interpolated: 16 passes + integer cubic epilogue
+])
+def test_fixed_pallas_tiled_interpret(ir, orr, q):
+    """The v3 kernel's "fixed" scheme (exact int8 planes + int32 bias) must
+    be bit-identical to the host fixed hot loops — in interpret mode here;
+    experiments/fixed_tpu_check.py pins the same equality on the real chip."""
+    from speex_resampler_tpu.ops import fir_fixed
+    from speex_resampler_tpu.parallel.batch import (_launch_geometry,
+                                                    make_batched_step)
+    import jax.numpy as jnp
+    rng = np.random.default_rng(1)
+    spec = _spec(ir, orr, q)
+    bspec = _launch_geometry(spec, 600, use_pallas=True)
+    assert bspec.kernel == "tiled"
+    bstep = make_batched_step(spec, bspec, use_pallas=True,
+                              pallas_interpret=True)
+    assert bstep.scheme == "fixed"
+    B = 8
+    n_in = bspec.in_per_launch
+    x_np = np.zeros((bstep.chunk_rows, B), dtype=np.int16)
+    x_np[:n_in] = rng.integers(-32768, 32768, (n_in, B)).astype(np.int16)
+    h_np = rng.integers(-32768, 32768,
+                        (bstep.hist_rows, B)).astype(np.int16)
+    _, y = bstep.fn(jnp.asarray(h_np), jnp.asarray(x_np), bstep.w)
+    X = np.concatenate([h_np[-(spec.filt_len - 1):], x_np[:n_in]], axis=0).T
+    ref = fir_fixed.resample_fixed(X, 0, bspec.f0, bspec.out_per_launch,
+                                   spec)
+    assert np.array_equal(np.asarray(y).T, ref)
