@@ -37,14 +37,18 @@ class SpeexResampler:
       channels: number of interleaved channels (min 1)
       in_rate / out_rate: Hz
       quality: 0-10, default 7
+      fixed_point: select the reference's FIXED_POINT build universe
+        (arch.h:39-67) — Q15 integer hot loops, bit-exact vs the fixed
+        oracle — instead of the shipped WASM's float build semantics
     """
 
     def __init__(self, channels: int, in_rate: int, out_rate: int,
-                 quality: int = 7):
+                 quality: int = 7, *, fixed_point: bool = False):
         self.channels = channels
         self.in_rate = in_rate
         self.out_rate = out_rate
         self.quality = quality
+        self.fixed_point = fixed_point
         self._core: ResamplerCore | None = None
         # JS wrapper's retained output buffer: grows to the largest
         # ceil(len*outRate/inRate) seen and never shrinks; the capacity
@@ -71,7 +75,8 @@ class SpeexResampler:
         if self._core is None:
             self._core = ResamplerCore(self.channels, self.in_rate,
                                        self.out_rate, self.in_rate,
-                                       self.out_rate, self.quality)
+                                       self.out_rate, self.quality,
+                                       fixed_point=self.fixed_point)
         return self._core
 
     def process_chunk(self, chunk: bytes | bytearray | memoryview) -> bytes:
@@ -179,9 +184,10 @@ class SpeexResamplerTransform:
     """
 
     def __init__(self, channels: int, in_rate: int, out_rate: int,
-                 quality: int = 7):
+                 quality: int = 7, *, fixed_point: bool = False):
         self.channels = channels
-        self.resampler = SpeexResampler(channels, in_rate, out_rate, quality)
+        self.resampler = SpeexResampler(channels, in_rate, out_rate, quality,
+                                        fixed_point=fixed_point)
         self._alignment_buffer = _EMPTY
 
     def transform(self, chunk: bytes) -> bytes:

@@ -21,6 +21,8 @@ def _add_common(p):
     p.add_argument("--in-rate", "-i", type=int, required=True)
     p.add_argument("--out-rate", "-o", type=int, required=True)
     p.add_argument("--quality", "-q", type=int, default=7)
+    p.add_argument("--fixed-point", action="store_true",
+                   help="use the FIXED_POINT (Q15 integer) build universe")
 
 
 def main(argv=None):
@@ -45,7 +47,9 @@ def main(argv=None):
         from .ops import filter_design as fd
         g = math.gcd(args.in_rate, args.out_rate)
         spec = fd.design_filter(args.in_rate // g, args.out_rate // g,
-                                args.quality)
+                                args.quality,
+                                fixed_point=args.fixed_point)
+        print(f"universe     {'fixed (Q15)' if args.fixed_point else 'float'}")
         print(f"ratio        {spec.num}/{spec.den}")
         print(f"filt_len     {spec.filt_len}")
         print(f"path         {'direct' if spec.use_direct else 'interpolated'}")
@@ -58,7 +62,7 @@ def main(argv=None):
     from .api import SpeexResampler
     data = open(args.infile, "rb").read()
     r = SpeexResampler(args.channels, args.in_rate, args.out_rate,
-                       args.quality)
+                       args.quality, fixed_point=args.fixed_point)
     if args.skip_zeros:
         r._ensure_core().skip_zeros()
     frame_bytes = args.channels * 2

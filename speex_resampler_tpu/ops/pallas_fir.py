@@ -610,8 +610,12 @@ def _v4_hist_plans(R: int, K: int, H: int, num: int, den: int,
 def _kernel_v4(*refs, R: int, K: int, H: int, num: int, den: int,
                shift: int, P: int, n_blocks: int, lb: int,
                hist_plans: tuple, f0: int = 0, scheme: str = "highest",
-               scales: tuple = ()):
-    if scheme == "int8":
+               scales: tuple = (), n_accum: int = 1):
+    coef_ref = None
+    if scheme == "fixed" and n_accum == 4:
+        (h_ref, b_ref, coef_ref, w_hbm, x_hbm, o_ref,
+         xbuf, wbuf, xsem, wsem, fsem) = refs
+    elif scheme in ("int8", "fixed"):
         (h_ref, b_ref, w_hbm, x_hbm, o_ref,
          xbuf, wbuf, xsem, wsem, fsem) = refs
     else:
@@ -663,7 +667,21 @@ def _kernel_v4(*refs, R: int, K: int, H: int, num: int, den: int,
             xbuf[slot, pl.ds(0, n_h), :] = h_ref[pl.ds(h0, n_h), :]
 
     # precision scheme is load-bearing; see _dot_scheme/_kernel.
-    if scheme == "int8":
+    if scheme == "fixed":
+        m = jax.lax.rem(j, P)
+        acc = _dot_fixed(lambda p: wbuf[slot, p], b_ref[m], xbuf[slot])
+        if n_accum == 4:
+            # exact fixed interpolate epilogue (see _kernel_v3)
+            Rr = acc.shape[0] // 4
+            s = jnp.zeros((Rr, acc.shape[1]), jnp.int32)
+            for c in range(4):
+                b = acc[c * Rr:(c + 1) * Rr] >> 1
+                a = coef_ref[m, c][:, None]
+                s = s + a * (b >> 15) \
+                    + ((a * (b & jnp.int32(0x7FFF))) >> 15)
+            acc = s
+        o_ref[0] = _sat32pshr15(acc)
+    elif scheme == "int8":
         acc = _dot_int8(lambda p: wbuf[slot, p],
                         b_ref[jax.lax.rem(j, P)],
                         xbuf[slot].astype(jnp.int32), scales)
@@ -678,13 +696,13 @@ def _kernel_v4(*refs, R: int, K: int, H: int, num: int, den: int,
 @functools.partial(jax.jit, static_argnames=("n_blocks", "shift", "num",
                                              "den", "f0", "interpret",
                                              "lane_tile", "scheme",
-                                             "scales"))
+                                             "scales", "n_accum"))
 def resample_conv_tm_pallas_v4(hist, x, w, *, n_blocks: int, shift: int,
                                num: int, den: int, f0: int = 0,
                                interpret: bool = False,
                                lane_tile: int | None = None,
                                scheme: str = "highest",
-                               scales: tuple = ()):
+                               scales: tuple = (), n_accum: int = 1):
     """Streamed-weight launch for large-P configs.
 
     hist: int16[H, B];  x: int16[T_c, B] (real rows ++ >=K zero rows);
@@ -696,8 +714,21 @@ def resample_conv_tm_pallas_v4(hist, x, w, *, n_blocks: int, shift: int,
     f32[P, R] bias) with static ``scales`` for scheme "int8".
     returns int16[n_blocks * R, B].
     """
-    bias = None
-    if scheme == "int8":
+    bias = coef = None
+    if scheme == "fixed":
+        # exact FIXED universe: (planes int8[P, 2, C, K], bias int32[P, C]
+        # [, coef int32[P, 4, R]]); C = n_accum * R (accumulator-major)
+        if n_accum == 4:
+            planes, bias, coef = w
+        else:
+            planes, bias = w
+        assert planes.dtype == jnp.int8, planes.dtype
+        P, _, C, K = planes.shape
+        R = C // n_accum
+        w = planes
+        w_scratch = pltpu.VMEM((2, 2, C, K), jnp.int8)
+        w_scratch_bytes = 2 * 2 * C * K
+    elif scheme == "int8":
         planes, bias = w
         assert planes.dtype == jnp.int8, planes.dtype
         P, D, R, K = planes.shape
@@ -723,9 +754,14 @@ def resample_conv_tm_pallas_v4(hist, x, w, *, n_blocks: int, shift: int,
         x = jnp.pad(x, ((0, 0), (0, B_pad - B)))
     if lane_tile is None:
         # widest tile that fits VMEM: the weight set is re-streamed from
-        # HBM once per lane tile, so fewer tiles = less weight traffic
-        lb = ((14 * 1024 * 1024 - w_scratch_bytes)
-              // (4 * K + 4 * H + 4 * R))
+        # HBM once per lane tile, so fewer tiles = less weight traffic.
+        # The fixed scheme carries int32 accumulators of C = n_accum*R rows
+        # (plus epilogue temporaries) on the scoped-vmem stack — budget
+        # them explicitly or Mosaic stack-OOMs at C = 4R widths.
+        per_lane = 4 * K + 4 * H + 4 * R
+        if scheme == "fixed":
+            per_lane += 16 * C
+        lb = (14 * 1024 * 1024 - w_scratch_bytes) // per_lane
         lb = max(_LANE, (lb // _LANE) * _LANE)
     else:
         lb = lane_tile
@@ -740,10 +776,15 @@ def resample_conv_tm_pallas_v4(hist, x, w, *, n_blocks: int, shift: int,
     in_specs = [pl.BlockSpec((H, lb), lambda i, j: (0, i),
                              memory_space=pltpu.VMEM)]
     operands = [hist]
-    if scheme == "int8":
-        in_specs.append(pl.BlockSpec((P, R), lambda i, j: (0, 0),
+    if scheme in ("int8", "fixed"):
+        Cb = bias.shape[1]
+        in_specs.append(pl.BlockSpec((P, Cb), lambda i, j: (0, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(bias)
+    if scheme == "fixed" and n_accum == 4:
+        in_specs.append(pl.BlockSpec((P, 4, R), lambda i, j: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(coef)
     in_specs += [pl.BlockSpec(memory_space=pl.ANY),
                  pl.BlockSpec(memory_space=pl.ANY)]
     operands += [w, x]
@@ -751,7 +792,7 @@ def resample_conv_tm_pallas_v4(hist, x, w, *, n_blocks: int, shift: int,
         functools.partial(_kernel_v4, R=R, K=K, H=H, num=num, den=den,
                           shift=shift, P=P, n_blocks=n_blocks, lb=lb,
                           hist_plans=hist_plans, f0=f0, scheme=scheme,
-                          scales=scales),
+                          scales=scales, n_accum=n_accum),
         grid=(n_lane_tiles, n_blocks),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, R, lb), lambda i, j: (j, 0, i),

@@ -196,9 +196,8 @@ def _launch_geometry(spec: fd.FilterSpec, target_in_frames: int,
         if use_pallas:
             ptw = _tiled_weights(spec, f0)
             n_cols = 1 if spec.use_direct else 4
+            from ..ops import pallas_fir
             if ptw.w.nbytes * n_cols <= _MAX_FIXED_TILED_WEIGHT_BYTES:
-                gp = 1
-                from ..ops import pallas_fir
                 gp = pallas_fir._v3_periods_per_program(ptw.P)
                 n_periods = max(gp,
                                 round(target_in_frames / (ptw.S * gp)) * gp)
@@ -207,6 +206,14 @@ def _launch_geometry(spec: fd.FilterSpec, target_in_frames: int,
                                  filt_len=spec.filt_len, group=1,
                                  n_blocks=n_periods * ptw.P, f0=f0,
                                  kernel="tiled", S=ptw.S, P=ptw.P, R=ptw.R)
+            if ptw.w.nbytes * n_cols <= _MAX_STREAMED_WEIGHT_BYTES:
+                n_periods = max(1, round(target_in_frames / ptw.S))
+                return BatchSpec(num=spec.num, den=spec.den,
+                                 quality=spec.quality,
+                                 filt_len=spec.filt_len, group=1,
+                                 n_blocks=n_periods * ptw.P, f0=f0,
+                                 kernel="streamed", S=ptw.S, P=ptw.P,
+                                 R=ptw.R)
         use_pallas = False
     if use_pallas:
         from ..ops import pallas_fir
@@ -262,7 +269,7 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
     n_in = bspec.in_per_launch
     n_out = bspec.out_per_launch
     if spec.fixed_point:
-        use_pallas = bspec.kernel == "tiled"
+        use_pallas = bspec.kernel in ("tiled", "streamed")
     elif use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
 
@@ -288,6 +295,45 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
         K_pad = -(-ptw.K // 128) * 128
         w_np = np.pad(ptw.w, ((0, 0), (0, K_pad - ptw.K), (0, 0)))
         chunk_rows = -(-(n_in + K_pad) // 16) * 16
+        n_accum = 1
+        if spec.fixed_point:
+            scheme, scales = "fixed", ()
+            if spec.use_direct:
+                w_cat = w_np
+            else:
+                n_accum = 4
+                comps = [w_np]
+                for c in range(1, 4):
+                    pc = _tiled_weights(spec, bspec.f0, component=c)
+                    assert pc.offsets.tolist() == ptw.offsets.tolist()
+                    comps.append(np.pad(pc.w,
+                                        ((0, 0), (0, K_pad - ptw.K),
+                                         (0, 0))))
+                w_cat = np.concatenate(comps, axis=2)  # c-major columns
+            planes, bias = pallas_fir.fixed_weight_planes_tiled(w_cat)
+            # [2, P, C, K] -> [P, 2, C, K]: one DMA per block's planes
+            w_streamed = (jnp.asarray(np.ascontiguousarray(
+                planes.transpose(1, 0, 2, 3))), jnp.asarray(bias))
+            if n_accum == 4:
+                r = np.arange(ptw.R, dtype=np.int64)
+                coef = np.empty((ptw.P, 4, ptw.R), dtype=np.int32)
+                for m in range(ptw.P):
+                    p = (bspec.f0 + (m * ptw.R + r) * spec.num) % spec.den
+                    coef[m] = spec.interp_coef[p].T
+                w_streamed = w_streamed + (jnp.asarray(coef),)
+            conv = functools.partial(
+                pallas_fir.resample_conv_tm_pallas_v4,
+                n_blocks=bspec.n_blocks, shift=shift, num=spec.num,
+                den=spec.den, f0=bspec.f0, interpret=pallas_interpret,
+                scheme="fixed", n_accum=n_accum)
+
+            def step(hist, x, w):
+                y = conv(hist, x, w)[:n_out]
+                return _next_hist(hist, x, n_in, H), y
+
+            return BatchedStep(fn=_wrap(step), w=w_streamed, hist_rows=H,
+                               chunk_rows=chunk_rows, zero_tail=K_pad,
+                               scheme="fixed")
         scheme, int8p, scales = _resolve_scheme(pallas_fir, w_np, scheme,
                                                 pallas_interpret)
         if scheme == "int8":

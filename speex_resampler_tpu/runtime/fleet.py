@@ -39,17 +39,20 @@ class FleetResampler:
                  out_rate: int, quality: int = 7, *,
                  target_chunk_frames: int = 4096,
                  use_pallas: bool | None = None,
-                 pallas_interpret: bool = False):
+                 pallas_interpret: bool = False,
+                 fixed_point: bool = False):
         if n_streams <= 0 or channels <= 0 or in_rate <= 0 or out_rate <= 0:
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
         self.n_streams = n_streams
         self.channels = channels
         self.in_rate = in_rate
         self.out_rate = out_rate
+        self.fixed_point = bool(fixed_point)
         self.B = n_streams * channels
         self._active = [True] * n_streams
         g = math.gcd(in_rate, out_rate)
-        self.spec = fd.design_filter(in_rate // g, out_rate // g, quality)
+        self.spec = fd.design_filter(in_rate // g, out_rate // g, quality,
+                                     fixed_point=fixed_point)
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.bspec = _launch_geometry(self.spec, target_chunk_frames,
@@ -211,6 +214,7 @@ class FleetResampler:
             "n_streams": self.n_streams, "channels": self.channels,
             "in_rate": self.in_rate, "out_rate": self.out_rate,
             "quality": self.spec.quality,
+            "fixed_point": self.fixed_point,
             "active": list(self._active),
             "hist": to_host(self._hist),
             "staged": [self._stager.peek(s) for s in range(self.n_streams)],
@@ -223,7 +227,8 @@ class FleetResampler:
         if (state["n_streams"], state["channels"]) != (self.n_streams,
                                                        self.channels) or \
                 (state["in_rate"], state["out_rate"], state["quality"]) != \
-                (self.in_rate, self.out_rate, self.spec.quality):
+                (self.in_rate, self.out_rate, self.spec.quality) or \
+                state.get("fixed_point", False) != self.fixed_point:
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
         self._hist = jnp.asarray(state["hist"])
         self._stager = make_stager(self.n_streams, self.channels,

@@ -163,12 +163,14 @@ class MultiFleet:
     def __init__(self, channels: int, *, capacity_per_bucket: int = 256,
                  target_chunk_frames: int = 4096,
                  use_pallas: bool | None = None,
-                 pallas_interpret: bool = False):
+                 pallas_interpret: bool = False,
+                 fixed_point: bool = False):
         self.channels = channels
         self.capacity = capacity_per_bucket
         self._target = target_chunk_frames
         self._use_pallas = use_pallas
         self._interpret = pallas_interpret
+        self.fixed_point = bool(fixed_point)
         self._buckets: dict[tuple, _Bucket] = {}
         self._streams: dict[object, _Stream] = {}
 
@@ -184,7 +186,8 @@ class MultiFleet:
                 self.capacity, self.channels, in_rate, out_rate, quality,
                 target_chunk_frames=self._target,
                 use_pallas=self._use_pallas,
-                pallas_interpret=self._interpret))
+                pallas_interpret=self._interpret,
+                fixed_point=self.fixed_point))
             self._buckets[key] = b
         if not b.free:
             raise ResamplerError(ResamplerErrorCode.ALLOC_FAILED)
@@ -225,7 +228,8 @@ class MultiFleet:
         if len(tail_in):
             hist = fleet.lane_history(st.slot)
             ir, orr, q = st.key
-            core = ResamplerCore(C, ir, orr, ir, orr, q)
+            core = ResamplerCore(C, ir, orr, ir, orr, q,
+                                 fixed_point=self.fixed_point)
             core.import_history(hist)
             parts.append(core.process_interleaved(tail_in, 10 ** 9))
         if parts:
@@ -279,7 +283,8 @@ class MultiFleet:
                 self.capacity, self.channels, in_rate, out_rate, quality,
                 target_chunk_frames=self._target,
                 use_pallas=self._use_pallas,
-                pallas_interpret=self._interpret))
+                pallas_interpret=self._interpret,
+                fixed_point=self.fixed_point))
             self._buckets[new_key] = b_new
         frees_own = (new_key == st.key and st.slot is not None)
         if not b_new.free and not frees_own:
@@ -304,7 +309,8 @@ class MultiFleet:
                               + getattr(st, "_byte_carry", b""))
             hist = fleet.lane_history(st.slot)
             ir0, or0, q0 = st.key
-            core = ResamplerCore(C, ir0, or0, ir0, or0, q0)
+            core = ResamplerCore(C, ir0, or0, ir0, or0, q0,
+                                 fixed_point=self.fixed_point)
             core.import_history(hist)
             parts = [banked] if len(banked) else []
             if len(tail_in):
@@ -459,7 +465,8 @@ class MultiFleet:
                 self.capacity, self.channels, ir, orr, q,
                 target_chunk_frames=self._target,
                 use_pallas=self._use_pallas,
-                pallas_interpret=self._interpret))
+                pallas_interpret=self._interpret,
+                fixed_point=self.fixed_point))
             # load AFTER _Bucket's blanket deactivation: it restores the
             # true per-slot occupancy along with histories and staging
             b.fleet.load_state_dict(bs["fleet"])
@@ -475,7 +482,8 @@ class MultiFleet:
             if ss["byte_carry"]:
                 st._byte_carry = bytes(ss["byte_carry"])
             if ss["transition"] is not None:
-                core = ResamplerCore(self.channels, 1, 1, 1, 1, 4)
+                core = ResamplerCore(self.channels, 1, 1, 1, 1, 4,
+                                     fixed_point=self.fixed_point)
                 core.load_state_dict(ss["transition"]["core"])
                 tr = _Transition(core, self.channels)
                 tr.buf = np.array(ss["transition"]["buf"], dtype=np.int16)

@@ -294,3 +294,120 @@ def test_fixed_pallas_tiled_interpret(ir, orr, q):
     ref = fir_fixed.resample_fixed(X, 0, bspec.f0, bspec.out_per_launch,
                                    spec)
     assert np.array_equal(np.asarray(y).T, ref)
+
+
+def test_fixed_api_wrapper(oracle_fixed, fixture_pcm, tmp_path):
+    """SpeexResampler(fixed_point=True): the JS-wrapper-compatible API on
+    the Q15 universe, bit-exact incl. the Transform byte-carry path."""
+    from speex_resampler_tpu import SpeexResampler, SpeexResamplerTransform
+    pcm = fixture_pcm["44100hz_test.pcm"][:2 * 44100 * 2 * 2]
+    golden = oracle_process(oracle_fixed, tmp_path, pcm, 2, 44100, 48000, 7)
+    r = SpeexResampler(2, 44100, 48000, 7, fixed_point=True)
+    out = np.frombuffer(r.process_chunk(pcm), dtype=np.int16)
+    assert np.array_equal(out, golden)
+
+    # Transform path with byte-misaligned chunks: the carry re-buckets
+    # frames into the schedule 1000,1001,1001,1001,... and the JS capacity
+    # rule (retained buffer) decides any input drops — so the golden run
+    # must use the SAME frame schedule (oracle `chunks` command)
+    t = SpeexResamplerTransform(2, 44100, 48000, 7, fixed_point=True)
+    outs, step = [], 1000 * 4 + 3
+    for pos in range(0, len(pcm), step):
+        outs.append(t.transform(pcm[pos:pos + step]))
+    got = np.frombuffer(b"".join(outs), dtype=np.int16)
+
+    carry, sched = 0, []
+    pos = 0
+    while pos < len(pcm):
+        take = min(step, len(pcm) - pos)
+        pos += take
+        carry += take
+        sched.append(carry // 4)
+        carry %= 4
+    inp = tmp_path / "t_in.pcm"
+    outp = tmp_path / "t_out.pcm"
+    schedp = tmp_path / "sched.txt"
+    inp.write_bytes(pcm[:len(pcm) - len(pcm) % 4])
+    schedp.write_text(" ".join(map(str, sched)))
+    subprocess.run([str(oracle_fixed), "chunks", "2", "44100", "48000",
+                    "7", str(inp), str(outp), str(schedp)], check=True)
+    golden2 = np.fromfile(outp, dtype=np.int16)
+    assert np.array_equal(got, golden2[:len(got)])
+    assert len(golden2) - len(got) <= 4  # trailing carry may hold a frame
+
+
+def test_fixed_cli(oracle_fixed, fixture_pcm, tmp_path):
+    from speex_resampler_tpu.cli import main
+    pcm = fixture_pcm["24000hz_mono_test.pcm"][:24000 * 2]
+    inp, outp = tmp_path / "in.pcm", tmp_path / "o.pcm"
+    inp.write_bytes(pcm)
+    rc = main(["resample", "-c", "1", "-i", "24000", "-o", "48000",
+               "-q", "5", "--fixed-point", str(inp), str(outp)])
+    assert rc == 0
+    golden = oracle_process(oracle_fixed, tmp_path, pcm, 1, 24000, 48000, 5)
+    got = np.fromfile(outp, dtype=np.int16)
+    assert np.array_equal(got, golden)
+
+
+def test_fixed_pallas_streamed_interpret():
+    """Large-P fixed config (48k->44.1k q10: P = den = 147) takes the v4
+    streamed-weight kernel with the exact fixed scheme — bit-identical to
+    the host fixed hot loops."""
+    from speex_resampler_tpu.ops import fir_fixed
+    from speex_resampler_tpu.parallel.batch import (_launch_geometry,
+                                                    make_batched_step)
+    import jax.numpy as jnp
+    rng = np.random.default_rng(2)
+    spec = _spec(48000, 44100, 10)
+    bspec = _launch_geometry(spec, 400, use_pallas=True)
+    assert bspec.kernel == "streamed"
+    bstep = make_batched_step(spec, bspec, use_pallas=True,
+                              pallas_interpret=True)
+    assert bstep.scheme == "fixed"
+    B = 8
+    n_in = bspec.in_per_launch
+    x_np = np.zeros((bstep.chunk_rows, B), dtype=np.int16)
+    x_np[:n_in] = rng.integers(-32768, 32768, (n_in, B)).astype(np.int16)
+    h_np = rng.integers(-32768, 32768,
+                        (bstep.hist_rows, B)).astype(np.int16)
+    _, y = bstep.fn(jnp.asarray(h_np), jnp.asarray(x_np), bstep.w)
+    X = np.concatenate([h_np[-(spec.filt_len - 1):], x_np[:n_in]], axis=0).T
+    ref = fir_fixed.resample_fixed(X, 0, bspec.f0, bspec.out_per_launch,
+                                   spec)
+    assert np.array_equal(np.asarray(y).T, ref)
+
+
+def test_fixed_fleet_and_multifleet():
+    """Fleet and MultiFleet serving front-ends in the fixed universe stay
+    bit-exact vs independent fixed cores."""
+    from speex_resampler_tpu.runtime.fleet import FleetResampler
+    from speex_resampler_tpu.runtime.multifleet import MultiFleet
+    rng = np.random.default_rng(4)
+    S, C, n = 2, 2, 2000
+    frames = rng.integers(-32768, 32768, size=(S, n, C)).astype(np.int16)
+
+    fleet = FleetResampler(S, C, 44100, 48000, 7, target_chunk_frames=512,
+                           fixed_point=True)
+    for s in range(S):
+        fleet.push(s, frames[s])
+    fleet.poll()
+    fleet.flush()
+    for s in range(S):
+        got = fleet.pull(s)
+        core = ResamplerCore(C, 44100, 48000, 44100, 48000, 7,
+                             fixed_point=True)
+        ref = core.process_interleaved(frames[s], 10 ** 9)
+        assert np.array_equal(got, ref[:len(got)]) and len(got) >= \
+            len(ref) - 1
+
+    mf = MultiFleet(C, capacity_per_bucket=4, target_chunk_frames=512,
+                    fixed_point=True)
+    mf.add_stream("a", 44100, 48000, 7)
+    mf.push("a", frames[0])
+    mf.poll()
+    got = [mf.pull("a")]
+    got.append(mf.end_stream("a"))
+    y = np.concatenate([g for g in got if g is not None and len(g)])
+    core = ResamplerCore(C, 44100, 48000, 44100, 48000, 7, fixed_point=True)
+    ref = core.process_interleaved(frames[0], 10 ** 9)
+    assert np.array_equal(y, ref[:len(y)])
