@@ -411,3 +411,38 @@ def test_fixed_fleet_and_multifleet():
     core = ResamplerCore(C, 44100, 48000, 44100, 48000, 7, fixed_point=True)
     ref = core.process_interleaved(frames[0], 10 ** 9)
     assert np.array_equal(y, ref[:len(y)])
+
+
+def test_fixed_pallas_mesh_sharded_interpret():
+    """Fixed v3 kernel under shard_map on an 8-device virtual mesh:
+    sharded == unsharded, bit-equal (share-nothing lanes)."""
+    from speex_resampler_tpu.parallel.batch import (_launch_geometry,
+                                                    make_batched_step)
+    import jax
+    import jax.numpy as jnp
+    devs = jax.devices("cpu")[:8]
+    mesh = jax.sharding.Mesh(np.array(devs), ("streams",))
+    P = jax.sharding.PartitionSpec
+    lane = jax.sharding.NamedSharding(mesh, P(None, "streams"))
+    repl = jax.sharding.NamedSharding(mesh, P())
+    rng = np.random.default_rng(6)
+    spec = _spec(44100, 48000, 7)
+    bspec = _launch_geometry(spec, 147, use_pallas=True)
+    assert bspec.kernel == "tiled"
+    step = make_batched_step(spec, bspec, use_pallas=True,
+                             pallas_interpret=True, mesh=mesh)
+    B = 16
+    x_np = np.zeros((step.chunk_rows, B), dtype=np.int16)
+    x_np[:bspec.in_per_launch] = rng.integers(
+        -32768, 32768, (bspec.in_per_launch, B)).astype(np.int16)
+    h_np = rng.integers(-32768, 32768,
+                        (step.hist_rows, B)).astype(np.int16)
+    w = jax.device_put(step.w, repl)
+    h2, y = step.fn(jax.device_put(jnp.asarray(h_np), lane),
+                    jax.device_put(jnp.asarray(x_np), lane), w)
+    assert len(y.sharding.device_set) == 8
+
+    ref_step = make_batched_step(spec, bspec, use_pallas=True,
+                                 pallas_interpret=True)
+    _, y_ref = ref_step.fn(jnp.asarray(h_np), jnp.asarray(x_np), ref_step.w)
+    assert np.array_equal(np.asarray(y), np.asarray(y_ref))
