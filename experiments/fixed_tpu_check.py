@@ -62,6 +62,7 @@ def slope(step, hist, x, w, iters=(4, 24), reps=4):
 def main():
     print("backend:", jax.default_backend())
     rng = np.random.default_rng(0)
+    failures = []
     for (ir, orr, q) in [(44100, 48000, 7), (24000, 48000, 5),
                          (44100, 24000, 5), (48000, 44100, 10)]:
         spec, bspec, bstep = build(ir, orr, q)
@@ -90,6 +91,11 @@ def main():
               f"launch={per_launch*1e3:.3f} ms  out={gs:.1f} G/s "
               f"(in={bspec.in_per_launch*B/per_launch/1e9:.1f} G/s, "
               f"direct={spec.use_direct})")
+        if not exact:
+            failures.append((ir, orr, q))
+    # this script is cited as the on-chip bit-equality gate for the fixed
+    # universe (PARITY.md #23) — a mismatch must be a hard failure
+    assert not failures, f"on-chip mismatch vs host exact: {failures}"
 
 
 if __name__ == "__main__":

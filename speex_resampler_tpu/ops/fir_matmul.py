@@ -207,24 +207,16 @@ def _exact_i16_dot(xa, wh_a, wl0_a):
     return (hh << 16) + ((hl + lh) << 8) + ll
 
 
-def _sat32pshr15_jax(s):
-    """SATURATE32PSHR(s, 15, 32767) + int16 store (jnp twin of
-    ops/fixed_math.saturate32pshr)."""
-    hi = jnp.int32(32767 << 15)
-    r = (s + jnp.int32(1 << 14)) >> 15
-    return jnp.where(s >= hi, 32767,
-                     jnp.where(s <= -hi, -32767, r)).astype(jnp.int16)
-
-
 def _interp_mix_jax(accum, coef):
-    """jnp twin of ops/fixed_math.interp_mix_fixed.
+    """Fixed interpolate epilogue, trailing-axis layout (canonical algebra
+    from ops/fixed_math jnp twins).
 
     accum: int32 [..., 4]; coef: int32 [..., 4] (int16 values).  Returns
     int16 [...]: sum_k MULT16_32_Q15(coef_k, accum_k >> 1), saturated."""
-    b = accum >> 1
-    terms = coef * (b >> 15) + ((coef * (b & jnp.int32(0x7FFF))) >> 15)
+    from .fixed_math import mult16_32_q15_jax, sat32pshr15_jax
+    terms = mult16_32_q15_jax(coef, accum >> 1)
     s = terms[..., 0] + terms[..., 1] + terms[..., 2] + terms[..., 3]
-    return _sat32pshr15_jax(s)
+    return sat32pshr15_jax(s)
 
 
 @partial(jax.jit, static_argnames=("stride", "n_accum"))
@@ -275,5 +267,6 @@ def resample_conv_tm_fixed(x, w_planes, *, stride: int, n_accum: int = 1):
         s4 = s.reshape(n_blocks, R, 4, B).transpose(0, 1, 3, 2)
         y = _interp_mix_jax(s4, coef[None, :, None, :])  # [n_blocks, R, B]
     else:
-        y = _sat32pshr15_jax(s)
+        from .fixed_math import sat32pshr15_jax
+        y = sat32pshr15_jax(s)
     return y.reshape(n_blocks * (C // n_accum), B)

@@ -143,3 +143,42 @@ def interp_mix_fixed(accum, interp) -> np.ndarray:
     with np.errstate(over="ignore"):
         s = terms[..., 0] + terms[..., 1] + terms[..., 2] + terms[..., 3]
     return to_word16(saturate32pshr(s, 15, 32767))
+
+
+# ---------------------------------------------------------------------------
+# jnp twins (device epilogues).  One canonical implementation shared by the
+# Pallas kernels (v3/v4, row-grouped accumulators) and the XLA dense path
+# (trailing-axis accumulators) so the Q15 epilogue algebra cannot
+# desynchronize between kernels that are asserted bit-identical.
+# ---------------------------------------------------------------------------
+
+
+def sat32pshr15_jax(s):
+    """jnp SATURATE32PSHR(s, 15, 32767) + int16 store (the fixed direct
+    epilogue; fixed_generic.h:55-57)."""
+    import jax.numpy as jnp
+    hi = jnp.int32(32767 << 15)
+    r = (s + jnp.int32(1 << 14)) >> 15
+    return jnp.where(s >= hi, 32767,
+                     jnp.where(s <= -hi, -32767, r)).astype(jnp.int16)
+
+
+def mult16_32_q15_jax(a, b):
+    """jnp MULT16_32_Q15 (int32 wrap): a*(b>>15) + ((a*(b&0x7fff))>>15)."""
+    import jax.numpy as jnp
+    return a * (b >> 15) + ((a * (b & jnp.int32(0x7FFF))) >> 15)
+
+
+def fixed_interp_mix_rows_jax(acc, coef_m):
+    """Fixed interpolate epilogue for row-grouped kernel accumulators.
+
+    acc: int32 [4*R, lanes] (accumulator-major row groups);
+    coef_m: int32 [4, R] Q15 cubic coefficients for this block phase.
+    Returns int16 [R, lanes] per resample.c:474-479 (fixed branch)."""
+    import jax.numpy as jnp
+    R = acc.shape[0] // 4
+    s = jnp.zeros((R, acc.shape[1]), jnp.int32)
+    for c in range(4):
+        s = s + mult16_32_q15_jax(coef_m[c][:, None],
+                                  acc[c * R:(c + 1) * R] >> 1)
+    return sat32pshr15_jax(s)

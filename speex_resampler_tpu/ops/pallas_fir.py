@@ -142,13 +142,10 @@ def fixed_weight_planes_tiled(w16, n_accum: int = 1):
     return np.ascontiguousarray(planes), bias
 
 
-def _sat32pshr15(s):
-    """SATURATE32PSHR(s, 15, 32767) + int16 store (fixed_generic.h:55-57),
-    the fixed direct-path epilogue — VPU int32 ops, fused in-kernel."""
-    hi = jnp.int32(32767 << 15)
-    r = (s + jnp.int32(1 << 14)) >> 15
-    return jnp.where(s >= hi, 32767,
-                     jnp.where(s <= -hi, -32767, r)).astype(jnp.int16)
+# canonical Q15 device epilogues (shared with the XLA dense twin so the
+# three fixed paths cannot desynchronize)
+from .fixed_math import (sat32pshr15_jax as _sat32pshr15,          # noqa: E402
+                         fixed_interp_mix_rows_jax as _fixed_mix_rows)
 
 
 def _dot_fixed(plane, bias_row, u16):
@@ -406,18 +403,9 @@ def _kernel_v3(w_ref, *rest, offs: tuple, S: int, K: int, H: int,
                 acc = _dot_fixed(lambda p: w_ref[p, m], b_ref[m],
                                  scratch[...])
                 if n_accum == 4:
-                    # fixed interpolate epilogue (resample.c:474-479):
-                    # four accumulator row groups (c-major), integer cubic
-                    # mix with truncating shifts, then saturate
-                    R = acc.shape[0] // 4
-                    s = jnp.zeros((R, acc.shape[1]), jnp.int32)
-                    for c in range(4):
-                        b = acc[c * R:(c + 1) * R] >> 1
-                        a = coef_ref[m, c][:, None]
-                        s = s + a * (b >> 15) \
-                            + ((a * (b & jnp.int32(0x7FFF))) >> 15)
-                    acc = s
-                o_ref[g * P + m] = _sat32pshr15(acc)
+                    o_ref[g * P + m] = _fixed_mix_rows(acc, coef_ref[m])
+                else:
+                    o_ref[g * P + m] = _sat32pshr15(acc)
             elif scheme == "int8":
                 acc = _dot_int8(lambda p: w_ref[p, m], b_ref[m],
                                 scratch[...].astype(jnp.int32), scales)
@@ -671,16 +659,9 @@ def _kernel_v4(*refs, R: int, K: int, H: int, num: int, den: int,
         m = jax.lax.rem(j, P)
         acc = _dot_fixed(lambda p: wbuf[slot, p], b_ref[m], xbuf[slot])
         if n_accum == 4:
-            # exact fixed interpolate epilogue (see _kernel_v3)
-            Rr = acc.shape[0] // 4
-            s = jnp.zeros((Rr, acc.shape[1]), jnp.int32)
-            for c in range(4):
-                b = acc[c * Rr:(c + 1) * Rr] >> 1
-                a = coef_ref[m, c][:, None]
-                s = s + a * (b >> 15) \
-                    + ((a * (b & jnp.int32(0x7FFF))) >> 15)
-            acc = s
-        o_ref[0] = _sat32pshr15(acc)
+            o_ref[0] = _fixed_mix_rows(acc, coef_ref[m])
+        else:
+            o_ref[0] = _sat32pshr15(acc)
     elif scheme == "int8":
         acc = _dot_int8(lambda p: wbuf[slot, p],
                         b_ref[jax.lax.rem(j, P)],

@@ -186,6 +186,19 @@ class BatchedStep:
     scheme: str = "highest"   # resolved matmul precision scheme
 
 
+
+def _fixed_coef(spec: fd.FilterSpec, f0: int, P: int, R: int) -> np.ndarray:
+    """Per-block-phase Q15 cubic coefficients for the fixed interpolated
+    kernels: [P, 4, R] int32, coef[m] for blocks with k % P == m (phases
+    repeat with period P because P*R*num = 0 mod den by construction)."""
+    r = np.arange(R, dtype=np.int64)
+    coef = np.empty((P, 4, R), dtype=np.int32)
+    for m in range(P):
+        ph_idx = (f0 + (m * R + r) * spec.num) % spec.den
+        coef[m] = spec.interp_coef[ph_idx].T
+    return coef
+
+
 def _launch_geometry(spec: fd.FilterSpec, target_in_frames: int,
                      use_pallas: bool = False, f0: int = 0) -> BatchSpec:
     if spec.fixed_point:
@@ -315,12 +328,8 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
             w_streamed = (jnp.asarray(np.ascontiguousarray(
                 planes.transpose(1, 0, 2, 3))), jnp.asarray(bias))
             if n_accum == 4:
-                r = np.arange(ptw.R, dtype=np.int64)
-                coef = np.empty((ptw.P, 4, ptw.R), dtype=np.int32)
-                for m in range(ptw.P):
-                    p = (bspec.f0 + (m * ptw.R + r) * spec.num) % spec.den
-                    coef[m] = spec.interp_coef[p].T
-                w_streamed = w_streamed + (jnp.asarray(coef),)
+                w_streamed = w_streamed + (jnp.asarray(
+                    _fixed_coef(spec, bspec.f0, ptw.P, ptw.R)),)
             conv = functools.partial(
                 pallas_fir.resample_conv_tm_pallas_v4,
                 n_blocks=bspec.n_blocks, shift=shift, num=spec.num,
@@ -399,13 +408,8 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
             planes, bias = pallas_fir.fixed_weight_planes_tiled(w_cat)
             w_host = (jnp.asarray(planes), jnp.asarray(bias))
             if n_accum == 4:
-                # per-block-phase Q15 cubic coefficients [P, 4, R]
-                r = np.arange(ptw.R, dtype=np.int64)
-                coef = np.empty((ptw.P, 4, ptw.R), dtype=np.int32)
-                for m in range(ptw.P):
-                    p = (bspec.f0 + (m * ptw.R + r) * spec.num) % spec.den
-                    coef[m] = spec.interp_coef[p].T
-                w_host = w_host + (jnp.asarray(coef),)
+                w_host = w_host + (jnp.asarray(
+                    _fixed_coef(spec, bspec.f0, ptw.P, ptw.R)),)
         elif scheme == "int8":
             w_host = (jnp.asarray(int8p[0]), jnp.asarray(int8p[1]))
         elif scheme == "split5":

@@ -437,6 +437,7 @@ class MultiFleet:
         (their core state + buffered input)."""
         return {
             "channels": self.channels, "capacity": self.capacity,
+            "fixed_point": self.fixed_point,
             "buckets": {k: {"fleet": b.fleet.state_dict(),
                             "free": list(b.free)}
                         for k, b in self._buckets.items()},
@@ -456,7 +457,8 @@ class MultiFleet:
 
     def load_state_dict(self, state: dict) -> None:
         if (state["channels"], state["capacity"]) != (self.channels,
-                                                      self.capacity):
+                                                      self.capacity) or \
+                state.get("fixed_point", False) != self.fixed_point:
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
         self._buckets = {}
         for k, bs in state["buckets"].items():
