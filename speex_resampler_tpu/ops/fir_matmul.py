@@ -154,16 +154,19 @@ def resample_gather(x, taps, starts, *, tile: int = 2048,
 # (resample.c:331-384/:438-496, FIXED_POINT branches).  Wrapping addition is
 # associative mod 2^32, so ANY regrouping — including the MXU's — is
 # bit-exact.  An int16 x int16 -> int32 dot decomposes EXACTLY into four
-# int8 MXU passes plus cheap rank-1 corrections:
+# int8 MXU passes plus one host-constant bias (the same formulation the
+# Pallas kernels use, ops/pallas_fir.fixed_weight_planes_tiled):
 #
-#     w = 256*wh + (wl0 + 128),  x = 256*xh + (xl0 + 128)
-#     with wh = w>>8, wl0 = (w & 255) - 128  (all planes fit int8), so
+#     w = 256*wh + wl0 EXACTLY (realizable Q15 taps satisfy
+#         |w| <= 32768*cutoff < 32639, so the balanced split
+#         wl0 = ((w+128) & 255) - 128, wh = (w - wl0) >> 8 fits int8
+#         with no constant term; zero padding decomposes to (0, 0))
+#     x = 256*xh + (xl0 + 128)   (data spans the full int16 range)
 #     sum_L w*x = [65536*wh.xh + 256*(wh.xl0 + wl0.xh) + wl0.xl0]
-#               + 128*sum_L(w) + 128*sum_L(x) - 16384*L        (mod 2^32)
+#               + 128*sum_L(w)                                   (mod 2^32)
 #
-# sum_L(w) is a host constant per output column; sum_L(x) is a sliding
-# window sum obtained from a cumulative sum (one VPU pass).  Per-plane int8
-# dot sums are bounded by 16384*L < 2^31 for every realizable L, so the MXU
+# 128*sum_L(w) is a host constant per output column.  Per-plane int8 dot
+# sums are bounded by 16384*L < 2^31 for every realizable L, so the MXU
 # int32 accumulators never wrap mid-plane; all combining is int32 (wraps
 # exactly like the C accumulator).
 #
@@ -174,25 +177,29 @@ def resample_gather(x, taps, starts, *, tile: int = 2048,
 
 
 def fixed_weight_planes(w16: "np.ndarray"):
-    """Host-side exact plane decomposition of an int16 weight matrix.
+    """Host-side EXACT balanced plane decomposition of an int16 weight
+    matrix (same split as ops/pallas_fir.fixed_weight_planes_tiled).
 
     w16: int16 [L, C] (C = R direct columns, or 4*R interp accumulator
-    columns).  Returns (wh int8[L,C], wl0 int8[L,C], rowsum int32[C]) with
-    rowsum[c] = sum_L w16[l, c]."""
+    columns).  Returns (wh int8[L,C], wl0 int8[L,C], bias int32[C]) with
+    w = 256*wh + wl0 exactly and bias[c] = 128 * sum_L w16[l, c] (the
+    contribution of the input's +128 plane)."""
     import numpy as np
     w32 = w16.astype(np.int32)
-    wh = (w32 >> 8).astype(np.int8)
-    wl0 = ((w32 & 255) - 128).astype(np.int8)
-    rowsum = w32.sum(axis=0, dtype=np.int32)
-    return wh, wl0, rowsum
+    assert np.abs(w32).max() < 32639, "tap exceeds exact 2-plane range"
+    wl0 = ((w32 + 128) & 255) - 128
+    wh = (w32 - wl0) >> 8
+    assert (w32 == 256 * wh + wl0).all()
+    bias = w32.sum(axis=0, dtype=np.int32) << 7
+    return wh.astype(np.int8), wl0.astype(np.int8), bias
 
 
 def _exact_i16_dot(xa, wh_a, wl0_a):
-    """One a-slice's exact plane contraction (no corrections).
+    """One a-slice's exact plane contraction (bias added by the caller).
 
     xa: int16 [n, s, B]; wh_a/wl0_a: int8 [C, s].  Returns int32 [n, C, B]
-    = sum_s (w-128-planes) contributions, i.e. sum_s a_w * a_x where
-    a_w = w - 128, a_x = x - 128 (corrections added once by the caller)."""
+    = sum_s w * (x - 128) contributions (w = 256*wh + wl0 exactly; the
+    input's +128 plane is the caller's host-constant bias)."""
     xh = (xa >> 8).astype(jnp.int8)
     xl0 = ((xa & 255) - 128).astype(jnp.int8)
 
@@ -224,7 +231,7 @@ def resample_conv_tm_fixed(x, w_planes, *, stride: int, n_accum: int = 1):
     """FIXED_POINT launch, time-major dense geometry (bit-exact).
 
     x:        int16 [T, B], T % stride == 0
-    w_planes: (wh int8[L, C], wl0 int8[L, C], rowsum int32[C][, coef
+    w_planes: (wh int8[L, C], wl0 int8[L, C], bias int32[C][, coef
               int32[R, 4]]) from fixed_weight_planes (+ per-column Q15
               cubic coefficients when n_accum == 4), L % stride == 0,
               C = n_accum * R
@@ -236,9 +243,9 @@ def resample_conv_tm_fixed(x, w_planes, *, stride: int, n_accum: int = 1):
     r), mixed with the exact integer cubic epilogue.
     """
     if n_accum == 4:
-        wh, wl0, rowsum, coef = w_planes
+        wh, wl0, bias, coef = w_planes
     else:
-        wh, wl0, rowsum = w_planes
+        wh, wl0, bias = w_planes
     L, C = wh.shape
     T, B = x.shape
     assert T % stride == 0 and L % stride == 0, (T, L, stride)
@@ -253,14 +260,7 @@ def resample_conv_tm_fixed(x, w_planes, *, stride: int, n_accum: int = 1):
         xa = lax.dynamic_slice_in_dim(xr, a, n_blocks, axis=0)
         acc = acc + _exact_i16_dot(xa, whA[a], wlA[a])
 
-    # corrections: + 128*sum_L(w) + 128*sum_L(x) - 16384*L  (mod 2^32)
-    cs = jnp.cumsum(x.astype(jnp.int32), axis=0)         # wrap-safe
-    cs = jnp.concatenate([jnp.zeros((1, B), jnp.int32), cs], axis=0)
-    cs_s = cs[:-1].reshape(T // stride, stride, B)[:, 0]  # cs at k*stride
-    colsum = lax.dynamic_slice_in_dim(cs_s, A, n_blocks, axis=0) \
-        - cs_s[:n_blocks]                                # [n_blocks, B]
-    s = (acc + (rowsum[None, :, None] << 7)
-         + (colsum[:, None, :] << 7) - jnp.int32(16384 * L))
+    s = acc + bias[None, :, None]
 
     if n_accum == 4:
         R = C // 4

@@ -282,6 +282,10 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
     n_in = bspec.in_per_launch
     n_out = bspec.out_per_launch
     if spec.fixed_point:
+        # the fixed universe has exactly one (exact) scheme; a float
+        # precision scheme request is a caller error, not a silent ignore
+        if scheme not in ("auto", "fixed"):
+            raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
         use_pallas = bspec.kernel in ("tiled", "streamed")
     elif use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"

@@ -84,3 +84,49 @@ def test_roundtrip_purity():
     resid = z - np.real(c * np.exp(2j * np.pi * freq * t))
     spur_db = 10 * np.log10((resid ** 2).mean() / (a ** 2 / 2))
     assert spur_db < -80, spur_db
+
+
+# ---------------------------------------------------------------------------
+# FIXED_POINT universe: the Q15 tap quantization (int16 taps, int32 Q15
+# accumulation) bounds the achievable stopband near ~84 dB, so the fixed
+# universe must still deliver the audible contract even if a few dB under
+# the float build's ~100 dB presets.
+# ---------------------------------------------------------------------------
+
+def _resample_fixed_i16(x, in_rate, out_rate, q):
+    core = ResamplerCore(1, in_rate, out_rate, in_rate, out_rate, q,
+                         fixed_point=True)
+    xi = np.clip(np.round(x), -32768, 32767).astype(np.int16)
+    return core.process_interleaved(xi[:, None], 10 ** 9)[:, 0]
+
+
+@pytest.mark.parametrize("quality,min_atten_db", [(5, 70), (10, 70)])
+def test_fixed_alias_suppression_downsample(quality, min_atten_db):
+    in_rate, out_rate = 48000, 24000
+    n = 1 << 16
+    y = _resample_fixed_i16(_tone(14000, in_rate, n), in_rate, out_rate,
+                            quality)[2000:]
+    alias = _amp(y, 10000, out_rate)
+    y_ref = _resample_fixed_i16(_tone(6000, in_rate, n), in_rate, out_rate,
+                                quality)[2000:]
+    sig = _amp(y_ref, 6000, out_rate)
+    atten_db = 20 * np.log10(sig / max(alias, 1e-9))
+    assert atten_db > min_atten_db, atten_db
+
+
+def test_fixed_passband_flatness_half_gain():
+    """44.1k -> 48k q7 fixed: flat passband at EXACTLY HALF gain.
+
+    The reference's FIXED_POINT interpolate epilogue halves the signal:
+    sum_k MULT16_32_Q15(interp_k, SHR32(accum_k, 1)) then
+    SATURATE32PSHR(sum, 15) nets accum/2 on the sample scale
+    (resample.c:474-479, fixed branch) — a long-standing quirk of the
+    upstream fixed build that the float build does not share.  We are
+    bit-exact to the fixed oracle, so we reproduce it; this test pins the
+    quirk so it reads as documented behavior, not a bug.  The direct
+    fixed path has unit gain (test_fixed_direct_output_scale)."""
+    for f in (1000, 4000, 10000):
+        x = _tone(f, 44100, 1 << 16)
+        y = _resample_fixed_i16(x, 44100, 48000, 7)[2000:]
+        gain = _amp(y, f, 48000) / 20000.0
+        assert abs(20 * np.log10(gain / 0.5)) < 0.2, (f, gain)
