@@ -70,7 +70,8 @@ class ResamplerCore:
 
     def __init__(self, nb_channels: int, ratio_num: int, ratio_den: int,
                  in_rate: int, out_rate: int, quality: int,
-                 fixed_point: bool = False):
+                 fixed_point: bool = False,
+                 full_sinc_table: bool = False):
         """``fixed_point=True`` selects the reference's OTHER numeric
         universe (-DFIXED_POINT, arch.h:39-67): spx_word16_t = int16, Q15
         integer hot loops, int16 ``mem``.  Outputs are bit-exact vs the
@@ -80,6 +81,8 @@ class ResamplerCore:
                 or quality > 10 or quality < 0):
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
         self.fixed_point = bool(fixed_point)
+        # RESAMPLE_FULL_SINC_TABLE compile-flag analog (resample.c:641-644)
+        self.full_sinc_table = bool(full_sinc_table)
         self._mem_dtype = np.int16 if fixed_point else np.float32
         self.nb_channels = int(nb_channels)
         self.in_rate = 0
@@ -119,7 +122,8 @@ class ResamplerCore:
         old_spec = self._spec
         try:
             spec = fd.design_filter(self.num, self.den, self.quality,
-                                    fixed_point=self.fixed_point)
+                                    fixed_point=self.fixed_point,
+                                    full_sinc_table=self.full_sinc_table)
         except fd.OverflowArgError:
             raise ResamplerError(ResamplerErrorCode.OVERFLOW)
         self._spec = spec

@@ -401,7 +401,8 @@ class FilterSpec:
 
 @lru_cache(maxsize=64)
 def design_filter(num: int, den: int, quality: int,
-                  fixed_point: bool = False) -> FilterSpec:
+                  fixed_point: bool = False,
+                  full_sinc_table: bool = False) -> FilterSpec:
     """Equivalent of update_filter (resample.c:605-701) for a reduced ratio.
 
     ``num``/``den`` must already be GCD-reduced (speex_resampler_set_rate_frac
@@ -411,6 +412,11 @@ def design_filter(num: int, den: int, quality: int,
     Q15 tables through the fixed sinc() (resample.c:275-285); geometry
     (filt_len, cutoff, advances, direct choice) is identical to the float
     build — only the table contents and hot-loop algebra differ.
+
+    ``full_sinc_table=True`` mirrors the RESAMPLE_FULL_SINC_TABLE
+    compile-time flag (resample.c:641-644): force the direct table even
+    when the interpolated one would use less memory (raises
+    OverflowArgError where the C build would fail its INT_MAX guard).
     """
     if not (0 <= quality <= 10):
         raise ValueError("quality must be in [0, 10]")
@@ -441,9 +447,15 @@ def design_filter(num: int, den: int, quality: int,
     else:
         cutoff = F32(q.upsample_bandwidth)
 
-    # direct vs interpolated choice by table memory (resample.c:646-648)
-    use_direct = (filt_len * den <= filt_len * oversample + 8
-                  and (2**31 - 1) // 4 // den >= filt_len)
+    # direct vs interpolated choice by table memory (resample.c:646-648);
+    # RESAMPLE_FULL_SINC_TABLE forces direct (resample.c:641-644)
+    if full_sinc_table:
+        if (2**31 - 1) // 4 // den < filt_len:
+            raise OverflowArgError("full sinc table exceeds INT_MAX")
+        use_direct = True
+    else:
+        use_direct = (filt_len * den <= filt_len * oversample + 8
+                      and (2**31 - 1) // 4 // den >= filt_len)
 
     window = q.window
     interp_taps = interp_coef = None
