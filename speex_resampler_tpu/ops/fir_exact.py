@@ -18,11 +18,21 @@ tests/test_exact_direct.py:
    float, then widens for +=), combined ((a0+a1)+a2)+a3 in f64, narrowed
    to f32 at the output store (spx_word16_t = float).
 
+Round 2 extends the same treatment to the INTERPOLATED path, so EVERY
+reference config is order-reproducible bit-identically in host mode:
+
+ - ``interpolate_single_exact``: resampler_basic_interpolate_single
+   (resample.c:438-496, float macros): four f32 accumulators filled
+   serially over the taps (each += one f32 product per j), f32 cubic
+   coefficients, left-associated f32 mix i0*a0 + i1*a1 + i2*a2 + i3*a3.
+ - ``interpolate_double_exact`` (quality > 8, resample.c:501-559): f64
+   accumulators over f32 products (MULT16_16 casts both operands to
+   spx_word32_t = float, arch.h:180 — the ``double curr_in`` is narrowed
+   right back), f64 mix narrowed to f32 at the store (``spx_word32_t
+   sum`` is float).
+
 Both paths end in WORD2INT (arch.h:208-209) exactly as process_int does
-(resample.c:1018-1023).  Only the DIRECT table layout (one row per phase,
-reduced den phases) is order-reproducible this way; the interpolated path
-mixes four sub-phase dots with cubic coefficients whose products our
-collapsed table absorbs offline, so it keeps the <=1 LSB tie bound.
+(resample.c:1018-1023).
 """
 
 from __future__ import annotations
@@ -33,7 +43,10 @@ from . import filter_design as fd
 from .convert import word2int
 
 __all__ = ["direct_single_exact", "direct_double_exact",
-           "resample_direct_exact"]
+           "interpolate_single_exact", "interpolate_double_exact",
+           "resample_direct_exact", "resample_exact"]
+
+_SLICE = 16384  # outputs per slice (bounds the [m, N, 4] tap gather)
 
 
 def _geometry(n_in: int, N: int, num: int, den: int):
@@ -92,5 +105,94 @@ def resample_direct_exact(frames: np.ndarray, in_rate: int, out_rate: int,
     taps = spec.phase_table.astype(np.float32)
     fn = direct_double_exact if quality > 8 else direct_single_exact
     outs = [fn(frames[:, c].astype(np.float32), taps, spec.num, spec.den)
+            for c in range(frames.shape[1])]
+    return np.stack(outs, axis=1)
+
+
+def _interp_geometry(n_in: int, num: int, den: int, oversample: int):
+    t = np.arange(0, n_in * den, num, dtype=np.int64)
+    starts = t // den
+    phases = (t % den).astype(np.int64)
+    # samp_frac_num * oversample is uint32 arithmetic in C (wraps)
+    prod = (phases * oversample) & 0xFFFFFFFF
+    offset = (prod // den).astype(np.int64)
+    rem = (prod % den).astype(np.int64)
+    # frac = ((float)rem)/den_rate: f32 cast, f32 division (den promoted)
+    frac = (rem.astype(np.float32) / np.float32(den)).astype(np.float32)
+    return starts, offset, frac
+
+
+def _interp_exact(x, sinc_table, filt_len, oversample, num, den, *,
+                  double: bool):
+    """Shared order-faithful interpolated hot loop (float build)."""
+    N = filt_len
+    n_in = x.shape[0]
+    xp = np.concatenate([np.zeros(N - 1, np.float32),
+                         np.asarray(x, np.float32)])
+    starts, offset, frac = _interp_geometry(n_in, num, den, oversample)
+    m = starts.shape[0]
+    interp = fd.cubic_coef(frac)  # f32 [m, 4], exact C evaluation order
+    T = np.asarray(sinc_table, np.float32)
+    out = np.empty(m, dtype=np.int16)
+    adt = np.float64 if double else np.float32
+    for lo in range(0, m, _SLICE):
+        hi = min(lo + _SLICE, m)
+        off = offset[lo:hi]
+        st = starts[lo:hi]
+        acc = np.zeros((4, hi - lo), dtype=adt)
+        for j in range(N):
+            base = 4 + (j + 1) * oversample - off - 2  # [s]
+            xj = xp[st + j]
+            if double:
+                # MULT16_16 casts BOTH args to spx_word32_t (= float in
+                # this build, arch.h:180), so the product is f32 even
+                # though curr_in is declared double; only the += widens
+                for k in range(4):
+                    acc[k] += (xj * T[base + k]).astype(np.float32)
+            else:
+                # one f32 product + one f32 add per tap, C order
+                for k in range(4):
+                    acc[k] += (xj * T[base + k]).astype(np.float32)
+        i = interp[lo:hi]
+        if double:
+            # sum computed in f64 (float coef promotes), then narrowed to
+            # f32 by the spx_word32_t (= float) store
+            s = (((i[:, 0].astype(np.float64) * acc[0]
+                   + i[:, 1].astype(np.float64) * acc[1])
+                  + i[:, 2].astype(np.float64) * acc[2])
+                 + i[:, 3].astype(np.float64) * acc[3]).astype(np.float32)
+        else:
+            s = ((i[:, 0] * acc[0] + i[:, 1] * acc[1])
+                 + i[:, 2] * acc[2]) + i[:, 3] * acc[3]
+        out[lo:hi] = word2int(s.astype(np.float32))
+    return out
+
+
+def interpolate_single_exact(x, sinc_table, filt_len, oversample, num, den):
+    """resampler_basic_interpolate_single, exact accumulation order."""
+    return _interp_exact(x, sinc_table, filt_len, oversample, num, den,
+                         double=False)
+
+
+def interpolate_double_exact(x, sinc_table, filt_len, oversample, num, den):
+    """resampler_basic_interpolate_double (quality > 8), exact order."""
+    return _interp_exact(x, sinc_table, filt_len, oversample, num, den,
+                         double=True)
+
+
+def resample_exact(frames: np.ndarray, in_rate: int, out_rate: int,
+                   quality: int) -> np.ndarray:
+    """One-shot order-exact resample of int16 [n, C] frames on ANY config
+    (direct or interpolated table); returns int16 [m, C] bit-identical to
+    the reference float build."""
+    import math
+    g = math.gcd(in_rate, out_rate)
+    spec = fd.design_filter(in_rate // g, out_rate // g, quality)
+    if spec.use_direct:
+        return resample_direct_exact(frames, in_rate, out_rate, quality)
+    fn = (interpolate_double_exact if quality > 8
+          else interpolate_single_exact)
+    outs = [fn(frames[:, c].astype(np.float32), spec.sinc_table,
+               spec.filt_len, spec.oversample, spec.num, spec.den)
             for c in range(frames.shape[1])]
     return np.stack(outs, axis=1)

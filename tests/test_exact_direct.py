@@ -31,3 +31,30 @@ def test_direct_path_bit_identical(oracle, fixture_pcm, tmp_path, fixture,
     assert abs(got.shape[0] - golden.shape[0]) <= channels
     assert np.array_equal(got[:m], golden[:m]), \
         f"{np.sum(got[:m] != golden[:m])} mismatches"
+
+
+@pytest.mark.parametrize("fixture,channels,in_rate,out_rate,quality", [
+    ("44100hz_test.pcm", 2, 44100, 48000, 7),    # interpolate_single
+    ("44100hz_test.pcm", 2, 44100, 48000, 1),    # q1 kaiser6
+    ("44100hz_test.pcm", 2, 44100, 24000, 5),    # decimating interpolate
+    ("44100hz_test.pcm", 2, 44100, 48000, 10),   # interpolate_double
+    ("44100hz_test.pcm", 2, 48000, 44100, 10),   # inverse double
+])
+def test_interpolated_path_bit_identical(oracle, fixture_pcm, tmp_path,
+                                         fixture, channels, in_rate,
+                                         out_rate, quality):
+    """Round 2: the order-faithful mode covers the INTERPOLATED hot loops
+    too (resample.c:438-559) — so EVERY reference config is reproducible
+    BIT-IDENTICALLY, with zero tolerated mismatches.  1 s slices keep the
+    serial-order host loops fast."""
+    pcm = np.frombuffer(fixture_pcm[fixture],
+                        dtype="<i2")[:in_rate * channels]
+    frames = pcm.reshape(-1, channels)
+    golden = oracle_process(oracle, tmp_path, frames.tobytes(), channels,
+                            in_rate, out_rate, quality)
+    got = fir_exact.resample_exact(frames, in_rate, out_rate,
+                                   quality).ravel()
+    m = min(got.shape[0], golden.shape[0])
+    assert abs(got.shape[0] - golden.shape[0]) <= channels
+    assert np.array_equal(got[:m], golden[:m]), \
+        f"{np.sum(got[:m] != golden[:m])} mismatches"
