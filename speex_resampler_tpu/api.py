@@ -40,15 +40,20 @@ class SpeexResampler:
       fixed_point: select the reference's FIXED_POINT build universe
         (arch.h:39-67) — Q15 integer hot loops, bit-exact vs the fixed
         oracle — instead of the shipped WASM's float build semantics
+      exact: float universe, order-faithful host hot loops — output is
+        BIT-IDENTICAL to the reference (zero mismatches) instead of the
+        device path's <=1 LSB, at single-stream host speed
     """
 
     def __init__(self, channels: int, in_rate: int, out_rate: int,
-                 quality: int = 7, *, fixed_point: bool = False):
+                 quality: int = 7, *, fixed_point: bool = False,
+                 exact: bool = False):
         self.channels = channels
         self.in_rate = in_rate
         self.out_rate = out_rate
         self.quality = quality
         self.fixed_point = fixed_point
+        self.exact = exact
         self._core: ResamplerCore | None = None
         # JS wrapper's retained output buffer: grows to the largest
         # ceil(len*outRate/inRate) seen and never shrinks; the capacity
@@ -76,7 +81,8 @@ class SpeexResampler:
             self._core = ResamplerCore(self.channels, self.in_rate,
                                        self.out_rate, self.in_rate,
                                        self.out_rate, self.quality,
-                                       fixed_point=self.fixed_point)
+                                       fixed_point=self.fixed_point,
+                                       exact=self.exact)
         return self._core
 
     def process_chunk(self, chunk: bytes | bytearray | memoryview) -> bytes:
@@ -184,10 +190,11 @@ class SpeexResamplerTransform:
     """
 
     def __init__(self, channels: int, in_rate: int, out_rate: int,
-                 quality: int = 7, *, fixed_point: bool = False):
+                 quality: int = 7, *, fixed_point: bool = False,
+                 exact: bool = False):
         self.channels = channels
         self.resampler = SpeexResampler(channels, in_rate, out_rate, quality,
-                                        fixed_point=fixed_point)
+                                        fixed_point=fixed_point, exact=exact)
         self._alignment_buffer = _EMPTY
 
     def transform(self, chunk: bytes) -> bytes:

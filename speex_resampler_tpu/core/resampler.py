@@ -71,16 +71,26 @@ class ResamplerCore:
     def __init__(self, nb_channels: int, ratio_num: int, ratio_den: int,
                  in_rate: int, out_rate: int, quality: int,
                  fixed_point: bool = False,
-                 full_sinc_table: bool = False):
+                 full_sinc_table: bool = False,
+                 exact: bool = False):
         """``fixed_point=True`` selects the reference's OTHER numeric
         universe (-DFIXED_POINT, arch.h:39-67): spx_word16_t = int16, Q15
         integer hot loops, int16 ``mem``.  Outputs are bit-exact vs the
         fixed-build oracle (wrapping int32 sums are order-independent, see
-        ops/fir_fixed.py)."""
+        ops/fir_fixed.py).
+
+        ``exact=True`` (float universe) serves through the order-faithful
+        host hot loops (ops/fir_exact.resample_exact_state): outputs are
+        BIT-IDENTICAL to the reference float build instead of <=1 LSB —
+        at host speed.  The fixed universe is exact everywhere already, so
+        combining the flags is redundant (and rejected)."""
         if (nb_channels <= 0 or ratio_num <= 0 or ratio_den <= 0
                 or quality > 10 or quality < 0):
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
         self.fixed_point = bool(fixed_point)
+        self.exact = bool(exact)
+        if self.exact and self.fixed_point:
+            raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
         # RESAMPLE_FULL_SINC_TABLE compile-flag analog (resample.c:641-644)
         self.full_sinc_table = bool(full_sinc_table)
         self._mem_dtype = np.int16 if fixed_point else np.float32
@@ -492,6 +502,10 @@ class ResamplerCore:
                         # fixed process_float output: int16 -> float store
                         # (resample.c:1019-1022, fixed branch), exact
                         y = y.astype(np.float32)
+                elif self.exact:
+                    from ..ops.fir_exact import resample_exact_state
+                    y = resample_exact_state(X, ls0, f0, n_out, self._spec,
+                                             raw=out_float)
                 else:
                     y = self._run_fir(X, ls0, f0, n_out, out_float)
             except (MemoryError, RuntimeError):

@@ -196,3 +196,90 @@ def resample_exact(frames: np.ndarray, in_rate: int, out_rate: int,
                spec.filt_len, spec.oversample, spec.num, spec.den)
             for c in range(frames.shape[1])]
     return np.stack(outs, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# State-aware streaming entry (round 2): the same four order-faithful hot
+# loops, driven from arbitrary stream state (ls0, f0) over a
+# history-prefixed sample axis — the signature the stateful core uses, so
+# SpeexResampler(exact=True) can serve bit-identical output through the
+# normal chunked pipeline (magic samples, set_rate, capacities included).
+# ---------------------------------------------------------------------------
+
+
+def _state_geometry(n_out: int, ls0: int, f0: int, num: int, den: int):
+    t = f0 + np.arange(n_out, dtype=np.int64) * num
+    return ls0 + t // den, (t % den).astype(np.int64)
+
+
+def _direct_slice(X, starts, phases, taps, *, double: bool,
+                  raw: bool) -> np.ndarray:
+    """X f32 [B, T]; per-output direct dot with C accumulation order."""
+    N = taps.shape[1]
+    tp = taps[phases]                                   # [m, N]
+    if double:
+        acc4 = np.zeros((4, X.shape[0], starts.shape[0]), dtype=np.float64)
+        for j in range(N):
+            prod = (tp[:, j][None, :] * X[:, starts + j])
+            acc4[j % 4] += prod.astype(np.float64)
+        s = (((acc4[0] + acc4[1]) + acc4[2]) + acc4[3]).astype(np.float32)
+    else:
+        s = np.zeros((X.shape[0], starts.shape[0]), dtype=np.float32)
+        for j in range(N):
+            s += tp[:, j][None, :] * X[:, starts + j]
+    return s if raw else word2int(s)
+
+
+def _interp_slice(X, starts, phases, spec, *, double: bool,
+                  raw: bool) -> np.ndarray:
+    """X f32 [B, T]; per-output interpolated 4-accumulator mix."""
+    ov, den = spec.oversample, spec.den
+    prod = (phases * ov) & 0xFFFFFFFF                   # uint32 wrap
+    offset = (prod // den).astype(np.int64)
+    rem = (prod % den).astype(np.int64)
+    frac = (rem.astype(np.float32) / np.float32(den)).astype(np.float32)
+    interp = fd.cubic_coef(frac)                        # [m, 4]
+    T = np.asarray(spec.sinc_table, np.float32)
+    N = spec.filt_len
+    adt = np.float64 if double else np.float32
+    acc = np.zeros((4, X.shape[0], starts.shape[0]), dtype=adt)
+    for j in range(N):
+        base = 4 + (j + 1) * ov - offset - 2
+        xj = X[:, starts + j]
+        for k in range(4):
+            # MULT16_16 narrows both operands to float (arch.h:180), so
+            # products are f32 in BOTH variants; only the += widens
+            acc[k] += (xj * T[base + k][None, :]).astype(np.float32)
+    i = interp.astype(adt)
+    s = (((i[:, 0][None] * acc[0] + i[:, 1][None] * acc[1])
+          + i[:, 2][None] * acc[2]) + i[:, 3][None] * acc[3])
+    s = s.astype(np.float32)
+    return s if raw else word2int(s)
+
+
+def resample_exact_state(X: np.ndarray, ls0: int, f0: int, n_out: int,
+                         spec, *, raw: bool = False) -> np.ndarray:
+    """X: f32 [B, T] (history ++ fresh samples, reference ``mem`` layout);
+    emits ``n_out`` outputs from state (ls0, f0) with the reference's
+    EXACT accumulation order (hot-loop variant selected per
+    resample.c:680-699).  raw=True returns the pre-WORD2INT f32 sums
+    (the process_float path, resample.c:953-958)."""
+    B = X.shape[0]
+    if n_out <= 0:
+        return np.zeros((B, 0), dtype=np.float32 if raw else np.int16)
+    X = np.asarray(X, dtype=np.float32)
+    double = spec.quality > 8
+    outs = []
+    for lo in range(0, n_out, _SLICE):
+        hi = min(lo + _SLICE, n_out)
+        t = f0 + np.arange(lo, hi, dtype=np.int64) * spec.num
+        starts = ls0 + t // spec.den
+        phases = (t % spec.den).astype(np.int64)
+        if spec.use_direct:
+            outs.append(_direct_slice(X, starts, phases,
+                                      spec.phase_table.astype(np.float32),
+                                      double=double, raw=raw))
+        else:
+            outs.append(_interp_slice(X, starts, phases, spec,
+                                      double=double, raw=raw))
+    return np.concatenate(outs, axis=1)

@@ -58,3 +58,36 @@ def test_interpolated_path_bit_identical(oracle, fixture_pcm, tmp_path,
     assert abs(got.shape[0] - golden.shape[0]) <= channels
     assert np.array_equal(got[:m], golden[:m]), \
         f"{np.sum(got[:m] != golden[:m])} mismatches"
+
+
+@pytest.mark.parametrize("in_rate,out_rate,quality,chunk", [
+    (44100, 48000, 7, 1000),    # interpolated, streamed
+    (24000, 48000, 5, 733),     # direct, streamed
+    (44100, 48000, 10, 1000),   # double-accumulator, streamed
+])
+def test_exact_streaming_mode(oracle, fixture_pcm, tmp_path, in_rate,
+                              out_rate, quality, chunk):
+    """SpeexResampler(exact=True): the order-faithful hot loops serving
+    through the normal STATEFUL pipeline (history carry, JS capacity
+    rule) — chunked output is bit-identical to the chunked oracle."""
+    from speex_resampler_tpu import SpeexResampler
+    name = ("44100hz_test.pcm" if in_rate == 44100
+            else "24000hz_test.pcm")
+    pcm = fixture_pcm[name][:in_rate * 2 * 2]  # 1 s stereo
+    golden = oracle_process(oracle, tmp_path, pcm, 2, in_rate, out_rate,
+                            quality, chunk_frames=chunk)
+    r = SpeexResampler(2, in_rate, out_rate, quality, exact=True)
+    outs = []
+    step = chunk * 4
+    for pos in range(0, len(pcm), step):
+        outs.append(r.process_chunk(pcm[pos:pos + step]))
+    got = np.frombuffer(b"".join(outs), dtype=np.int16)
+    assert got.shape == golden.shape
+    assert np.array_equal(got, golden)
+
+
+def test_exact_mode_rejects_fixed_combo():
+    from speex_resampler_tpu.core.resampler import ResamplerCore
+    with pytest.raises(Exception):
+        ResamplerCore(1, 1, 1, 44100, 48000, 7, fixed_point=True,
+                      exact=True)
