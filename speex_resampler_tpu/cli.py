@@ -23,6 +23,9 @@ def _add_common(p):
     p.add_argument("--quality", "-q", type=int, default=7)
     p.add_argument("--fixed-point", action="store_true",
                    help="use the FIXED_POINT (Q15 integer) build universe")
+    p.add_argument("--exact", action="store_true",
+                   help="order-faithful mode: output bit-identical to the "
+                        "reference float build (host hot loops)")
 
 
 def main(argv=None):
@@ -62,7 +65,8 @@ def main(argv=None):
     from .api import SpeexResampler
     data = open(args.infile, "rb").read()
     r = SpeexResampler(args.channels, args.in_rate, args.out_rate,
-                       args.quality, fixed_point=args.fixed_point)
+                       args.quality, fixed_point=args.fixed_point,
+                       exact=args.exact)
     if args.skip_zeros:
         r._ensure_core().skip_zeros()
     frame_bytes = args.channels * 2

@@ -42,160 +42,38 @@ import numpy as np
 from . import filter_design as fd
 from .convert import word2int
 
-__all__ = ["direct_single_exact", "direct_double_exact",
-           "interpolate_single_exact", "interpolate_double_exact",
-           "resample_direct_exact", "resample_exact"]
+__all__ = ["resample_direct_exact", "resample_exact",
+           "resample_exact_state"]
 
 _SLICE = 16384  # outputs per slice (bounds the [m, N, 4] tap gather)
 
 
-def _geometry(n_in: int, N: int, num: int, den: int):
-    t = np.arange(0, n_in * den, num, dtype=np.int64)  # outputs' t = k*num
-    starts = t // den          # window start within the padded stream
-    phases = (t % den).astype(np.int64)
-    return starts, phases
-
-
-def direct_single_exact(x: np.ndarray, taps: np.ndarray, num: int,
-                        den: int) -> np.ndarray:
-    """x: f32 [n_in] fresh-stream channel samples; taps: f32 [den, N]
-    (the direct sinc table, bit-identical to the C build).  Returns the
-    one-shot output int16 [m] with C's serial-f32 accumulation order."""
-    N = taps.shape[1]
-    n_in = x.shape[0]
-    xp = np.concatenate([np.zeros(N - 1, np.float32),
-                         np.asarray(x, np.float32)])
-    starts, phases = _geometry(n_in, N, num, den)
-    acc = np.zeros(starts.shape[0], dtype=np.float32)
-    tp = taps[phases]                     # [m, N] per-output tap rows
-    for j in range(N):
-        # one f32 product + one f32 add per output per tap, in tap order —
-        # the exact rounding sequence of resample.c:352
-        acc += tp[:, j] * xp[starts + j]
-    return word2int(acc)
-
-
-def direct_double_exact(x: np.ndarray, taps: np.ndarray, num: int,
-                        den: int) -> np.ndarray:
-    """Quality>8 variant: 4 interleaved f64 accumulators over f32 products
-    (resample.c:409-417), combined in f64, narrowed to f32 at the store."""
-    N = taps.shape[1]
-    assert N % 4 == 0, N
-    n_in = x.shape[0]
-    xp = np.concatenate([np.zeros(N - 1, np.float32),
-                         np.asarray(x, np.float32)])
-    starts, phases = _geometry(n_in, N, num, den)
-    tp = taps[phases]
-    acc4 = np.zeros((4, starts.shape[0]), dtype=np.float64)
-    for j in range(N):
-        prod = (tp[:, j] * xp[starts + j]).astype(np.float64)  # f32 product
-        acc4[j % 4] += prod
-    s = ((acc4[0] + acc4[1]) + acc4[2]) + acc4[3]
-    return word2int(s.astype(np.float32))
-
-
 def resample_direct_exact(frames: np.ndarray, in_rate: int, out_rate: int,
                           quality: int) -> np.ndarray:
-    """One-shot order-exact resample of int16 [n, C] interleaved frames on
-    a DIRECT-path config; returns int16 [m, C]."""
+    """One-shot order-exact resample on a DIRECT-path config (back-compat
+    wrapper over resample_exact)."""
     import math
     g = math.gcd(in_rate, out_rate)
     spec = fd.design_filter(in_rate // g, out_rate // g, quality)
-    assert spec.use_direct, "order-exact mode covers the direct path only"
-    taps = spec.phase_table.astype(np.float32)
-    fn = direct_double_exact if quality > 8 else direct_single_exact
-    outs = [fn(frames[:, c].astype(np.float32), taps, spec.num, spec.den)
-            for c in range(frames.shape[1])]
-    return np.stack(outs, axis=1)
-
-
-def _interp_geometry(n_in: int, num: int, den: int, oversample: int):
-    t = np.arange(0, n_in * den, num, dtype=np.int64)
-    starts = t // den
-    phases = (t % den).astype(np.int64)
-    # samp_frac_num * oversample is uint32 arithmetic in C (wraps)
-    prod = (phases * oversample) & 0xFFFFFFFF
-    offset = (prod // den).astype(np.int64)
-    rem = (prod % den).astype(np.int64)
-    # frac = ((float)rem)/den_rate: f32 cast, f32 division (den promoted)
-    frac = (rem.astype(np.float32) / np.float32(den)).astype(np.float32)
-    return starts, offset, frac
-
-
-def _interp_exact(x, sinc_table, filt_len, oversample, num, den, *,
-                  double: bool):
-    """Shared order-faithful interpolated hot loop (float build)."""
-    N = filt_len
-    n_in = x.shape[0]
-    xp = np.concatenate([np.zeros(N - 1, np.float32),
-                         np.asarray(x, np.float32)])
-    starts, offset, frac = _interp_geometry(n_in, num, den, oversample)
-    m = starts.shape[0]
-    interp = fd.cubic_coef(frac)  # f32 [m, 4], exact C evaluation order
-    T = np.asarray(sinc_table, np.float32)
-    out = np.empty(m, dtype=np.int16)
-    adt = np.float64 if double else np.float32
-    for lo in range(0, m, _SLICE):
-        hi = min(lo + _SLICE, m)
-        off = offset[lo:hi]
-        st = starts[lo:hi]
-        acc = np.zeros((4, hi - lo), dtype=adt)
-        for j in range(N):
-            base = 4 + (j + 1) * oversample - off - 2  # [s]
-            xj = xp[st + j]
-            if double:
-                # MULT16_16 casts BOTH args to spx_word32_t (= float in
-                # this build, arch.h:180), so the product is f32 even
-                # though curr_in is declared double; only the += widens
-                for k in range(4):
-                    acc[k] += (xj * T[base + k]).astype(np.float32)
-            else:
-                # one f32 product + one f32 add per tap, C order
-                for k in range(4):
-                    acc[k] += (xj * T[base + k]).astype(np.float32)
-        i = interp[lo:hi]
-        if double:
-            # sum computed in f64 (float coef promotes), then narrowed to
-            # f32 by the spx_word32_t (= float) store
-            s = (((i[:, 0].astype(np.float64) * acc[0]
-                   + i[:, 1].astype(np.float64) * acc[1])
-                  + i[:, 2].astype(np.float64) * acc[2])
-                 + i[:, 3].astype(np.float64) * acc[3]).astype(np.float32)
-        else:
-            s = ((i[:, 0] * acc[0] + i[:, 1] * acc[1])
-                 + i[:, 2] * acc[2]) + i[:, 3] * acc[3]
-        out[lo:hi] = word2int(s.astype(np.float32))
-    return out
-
-
-def interpolate_single_exact(x, sinc_table, filt_len, oversample, num, den):
-    """resampler_basic_interpolate_single, exact accumulation order."""
-    return _interp_exact(x, sinc_table, filt_len, oversample, num, den,
-                         double=False)
-
-
-def interpolate_double_exact(x, sinc_table, filt_len, oversample, num, den):
-    """resampler_basic_interpolate_double (quality > 8), exact order."""
-    return _interp_exact(x, sinc_table, filt_len, oversample, num, den,
-                         double=True)
+    assert spec.use_direct, "direct wrapper used on an interpolated config"
+    return resample_exact(frames, in_rate, out_rate, quality)
 
 
 def resample_exact(frames: np.ndarray, in_rate: int, out_rate: int,
                    quality: int) -> np.ndarray:
     """One-shot order-exact resample of int16 [n, C] frames on ANY config
-    (direct or interpolated table); returns int16 [m, C] bit-identical to
-    the reference float build."""
+    (hot-loop variant selected per resample.c:680-699); returns int16
+    [m, C] bit-identical to the reference float build."""
     import math
     g = math.gcd(in_rate, out_rate)
     spec = fd.design_filter(in_rate // g, out_rate // g, quality)
-    if spec.use_direct:
-        return resample_direct_exact(frames, in_rate, out_rate, quality)
-    fn = (interpolate_double_exact if quality > 8
-          else interpolate_single_exact)
-    outs = [fn(frames[:, c].astype(np.float32), spec.sinc_table,
-               spec.filt_len, spec.oversample, spec.num, spec.den)
-            for c in range(frames.shape[1])]
-    return np.stack(outs, axis=1)
+    N = spec.filt_len
+    X = np.concatenate(
+        [np.zeros((frames.shape[1], N - 1), np.float32),
+         np.ascontiguousarray(frames.T).astype(np.float32)], axis=1)
+    n_out = (frames.shape[0] * spec.den + spec.num - 1) // spec.num
+    y = resample_exact_state(X, 0, 0, n_out, spec)
+    return np.ascontiguousarray(y.T)
 
 
 # ---------------------------------------------------------------------------
