@@ -363,3 +363,43 @@ def test_multifleet_set_stream_rate_preserves_byte_carry():
     m = min(len(got), len(want))
     assert abs(len(got) - len(want)) <= 1
     assert_lsb_close(got[:m].ravel(), want[:m].ravel())
+
+
+def test_multifleet_set_stream_rate_fixed_oracle(oracle_fixed, tmp_path):
+    """FIXED universe: the mid-stream rate/quality switch stays BIT-EXACT
+    (zero mismatches) vs the fixed oracle driven through the identical
+    setrate scenario — magic-sample migration included."""
+    import subprocess
+    rng = np.random.default_rng(9)
+    n, chunk, switch_at = 8000, 1000, 3
+    pcm = (rng.integers(-20000, 20000, size=n)).astype("<i2")
+    inp = tmp_path / "in.pcm"
+    outp = tmp_path / "out.pcm"
+    inp.write_bytes(pcm.tobytes())
+    subprocess.run([str(oracle_fixed), "setrate", "1", "24000", "48000",
+                    "5", str(chunk), str(inp), str(outp), str(switch_at),
+                    "44100", "48000", "7"], check=True)
+    raw = outp.read_bytes()
+    want, off = [], 0
+    while off < len(raw):
+        cnt = int.from_bytes(raw[off:off + 4], "little")
+        off += 4
+        want.append(np.frombuffer(raw[off:off + cnt * 2], dtype="<i2"))
+        off += cnt * 2
+    want = np.concatenate(want)
+
+    mf = MultiFleet(channels=1, capacity_per_bucket=2,
+                    target_chunk_frames=512, use_pallas=False,
+                    fixed_point=True)
+    mf.add_stream("s", 24000, 48000, 5)
+    frames = pcm.reshape(-1, 1)
+    for i in range(0, n, chunk):
+        if i // chunk == switch_at:
+            mf.set_stream_rate("s", 44100, 48000, 7)
+        mf.push("s", frames[i:i + chunk])
+        mf.poll()
+    mf.flush()
+    got = mf.pull("s").ravel()
+    m = min(got.shape[0], want.shape[0])
+    assert abs(got.shape[0] - want.shape[0]) <= 2, (got.shape, want.shape)
+    assert np.array_equal(got[:m], want[:m])
