@@ -54,6 +54,10 @@ class SpeexResampler:
         self.quality = quality
         self.fixed_point = fixed_point
         self.exact = exact
+        if fixed_point and exact:
+            # the fixed universe is exact everywhere already; fail at
+            # construction, not at the first process call
+            raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
         self._core: ResamplerCore | None = None
         # JS wrapper's retained output buffer: grows to the largest
         # ceil(len*outRate/inRate) seen and never shrinks; the capacity

@@ -319,6 +319,8 @@ class ResamplerCore:
         return {
             "nb_channels": self.nb_channels,
             "fixed_point": self.fixed_point,
+            "exact": self.exact,
+            "full_sinc_table": self.full_sinc_table,
             "in_rate": self.in_rate, "out_rate": self.out_rate,
             "num": self.num, "den": self.den, "quality": self.quality,
             "started": self.started,
@@ -333,7 +335,10 @@ class ResamplerCore:
     def load_state_dict(self, state: dict):
         """Restore a snapshot taken by state_dict on a compatible core."""
         if (state["nb_channels"] != self.nb_channels
-                or state.get("fixed_point", False) != self.fixed_point):
+                or state.get("fixed_point", False) != self.fixed_point
+                or state.get("exact", self.exact) != self.exact
+                or state.get("full_sinc_table",
+                             self.full_sinc_table) != self.full_sinc_table):
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
         self.set_quality(int(state["quality"]))
         self.set_rate_frac(int(state["num"]), int(state["den"]),

@@ -448,14 +448,17 @@ def design_filter(num: int, den: int, quality: int,
         cutoff = F32(q.upsample_bandwidth)
 
     # direct vs interpolated choice by table memory (resample.c:646-648);
-    # RESAMPLE_FULL_SINC_TABLE forces direct (resample.c:641-644)
+    # RESAMPLE_FULL_SINC_TABLE forces direct (resample.c:641-644).  The
+    # INT_MAX guards divide by sizeof(spx_word16_t): 4 in the float build,
+    # 2 in the fixed build.
+    word_size = 2 if fixed_point else 4
     if full_sinc_table:
-        if (2**31 - 1) // 4 // den < filt_len:
+        if (2**31 - 1) // word_size // den < filt_len:
             raise OverflowArgError("full sinc table exceeds INT_MAX")
         use_direct = True
     else:
         use_direct = (filt_len * den <= filt_len * oversample + 8
-                      and (2**31 - 1) // 4 // den >= filt_len)
+                      and (2**31 - 1) // word_size // den >= filt_len)
 
     window = q.window
     interp_taps = interp_coef = None

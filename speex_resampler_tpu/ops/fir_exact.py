@@ -7,29 +7,25 @@ EXACT C arithmetic order, yielding bit-identical output — a strictly
 stronger exactness claim, asserted with zero tolerated mismatches in
 tests/test_exact_direct.py:
 
- - ``direct_single_exact``: resampler_basic_direct_single
-   (resample.c:331-384): per output, serial f32 ``sum += sinct[j]*iptr[j]``
-   over the filt_len taps (float build: MULT16_16 is a plain f32 multiply,
-   SATURATE32PSHR an identity).  Vectorised over outputs, serial over taps
-   — identical per-output rounding sequence.
- - ``direct_double_exact``: resampler_basic_direct_double
-   (resample.c:389-436, selected when quality > 8): four f64 accumulators
-   filled j%4-interleaved with f32 products (C computes float*float in
-   float, then widens for +=), combined ((a0+a1)+a2)+a3 in f64, narrowed
-   to f32 at the output store (spx_word16_t = float).
+ - direct single (resample.c:331-384): per output, serial f32
+   ``sum += sinct[j]*iptr[j]`` over the filt_len taps (float build:
+   MULT16_16 is a plain f32 multiply, SATURATE32PSHR an identity).
+   Vectorised over outputs, serial over taps — identical per-output
+   rounding sequence.
+ - direct double (resample.c:389-436, selected when quality > 8): four
+   f64 accumulators filled j%4-interleaved with f32 products, combined
+   ((a0+a1)+a2)+a3 in f64, narrowed to f32 at the output store.
+ - interpolate single (resample.c:438-496, float macros): four f32
+   accumulators (one f32 product + add per tap), f32 cubic coefficients,
+   left-associated f32 mix i0*a0 + i1*a1 + i2*a2 + i3*a3.
+ - interpolate double (quality > 8, resample.c:501-559): f64 accumulators
+   over f32 products (MULT16_16 casts both operands to spx_word32_t =
+   float, arch.h:180 — the ``double curr_in`` is narrowed right back),
+   f64 mix narrowed to f32 at the store (``spx_word32_t sum`` is float).
 
-Round 2 extends the same treatment to the INTERPOLATED path, so EVERY
-reference config is order-reproducible bit-identically in host mode:
-
- - ``interpolate_single_exact``: resampler_basic_interpolate_single
-   (resample.c:438-496, float macros): four f32 accumulators filled
-   serially over the taps (each += one f32 product per j), f32 cubic
-   coefficients, left-associated f32 mix i0*a0 + i1*a1 + i2*a2 + i3*a3.
- - ``interpolate_double_exact`` (quality > 8, resample.c:501-559): f64
-   accumulators over f32 products (MULT16_16 casts both operands to
-   spx_word32_t = float, arch.h:180 — the ``double curr_in`` is narrowed
-   right back), f64 mix narrowed to f32 at the store (``spx_word32_t
-   sum`` is float).
+Entry points: ``resample_exact_state`` (stream-state-aware, the core's
+exact=True serving path) and the one-shot wrappers ``resample_exact`` /
+``resample_direct_exact``.
 
 Both paths end in WORD2INT (arch.h:208-209) exactly as process_int does
 (resample.c:1018-1023).
@@ -83,11 +79,6 @@ def resample_exact(frames: np.ndarray, in_rate: int, out_rate: int,
 # SpeexResampler(exact=True) can serve bit-identical output through the
 # normal chunked pipeline (magic samples, set_rate, capacities included).
 # ---------------------------------------------------------------------------
-
-
-def _state_geometry(n_out: int, ls0: int, f0: int, num: int, den: int):
-    t = f0 + np.arange(n_out, dtype=np.int64) * num
-    return ls0 + t // den, (t % den).astype(np.int64)
 
 
 def _direct_slice(X, starts, phases, taps, *, double: bool,

@@ -186,7 +186,9 @@ def fixed_weight_planes(w16: "np.ndarray"):
     contribution of the input's +128 plane)."""
     import numpy as np
     w32 = w16.astype(np.int32)
-    assert np.abs(w32).max() < 32639, "tap exceeds exact 2-plane range"
+    # the balanced split is exact for every int16 in [-32768, 32639]
+    # (wh, wl0 both within int8); only [32640, 32767] is unreachable
+    assert w32.max() < 32640, "tap exceeds exact 2-plane range"
     wl0 = ((w32 + 128) & 255) - 128
     wh = (w32 - wl0) >> 8
     assert (w32 == 256 * wh + wl0).all()

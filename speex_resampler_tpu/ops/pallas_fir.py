@@ -133,7 +133,8 @@ def fixed_weight_planes_tiled(w16, n_accum: int = 1):
     (planes int8 [2, P, C, K]  — pre-transposed to the kernel's [R, K]
     operand layout, bias int32 [P, C])."""
     w32 = np.asarray(w16).astype(np.int32)
-    assert np.abs(w32).max() < 32639, "tap exceeds exact 2-plane range"
+    # exact for every int16 in [-32768, 32639]; only [32640, 32767] fails
+    assert w32.max() < 32640, "tap exceeds exact 2-plane range"
     wl0 = ((w32 + 128) & 255) - 128
     wh = (w32 - wl0) >> 8
     assert np.abs(wh).max() <= 127 and (w32 == 256 * wh + wl0).all()
