@@ -178,12 +178,15 @@ def test_multifleet_remove_stream_drops_staged():
     assert banked_before > 0
 
 
-def test_multifleet_fuzz_churn():
+@pytest.mark.parametrize("fixed", [False, True])
+def test_multifleet_fuzz_churn(fixed):
     """Randomized attach/push/poll/end/pull churn: every pulled sample must
-    match a per-stream reference core fed the same data."""
+    match a per-stream reference core fed the same data.  In the fixed
+    universe the match is bit-exact (zero tolerance)."""
     rng = np.random.default_rng(42)
     mf = MultiFleet(channels=1, capacity_per_bucket=3,
-                    target_chunk_frames=300, use_pallas=False)
+                    target_chunk_frames=300, use_pallas=False,
+                    fixed_point=fixed)
     configs = [(24000, 48000, 5), (44100, 48000, 7), (48000, 24000, 4)]
 
     live = {}      # sid -> [cfg, pushed_chunks]
@@ -247,10 +250,13 @@ def test_multifleet_fuzz_churn():
             continue
         data = np.concatenate(chunks)
         ir, orr, q = cfg
-        core = ResamplerCore(1, ir, orr, ir, orr, q)
+        core = ResamplerCore(1, ir, orr, ir, orr, q, fixed_point=fixed)
         ref = core.process_interleaved(data, 10**9)
         assert got.shape == ref.shape, (sid, got.shape, ref.shape)
-        assert_lsb_close(got.ravel(), ref.ravel())
+        if fixed:
+            assert np.array_equal(got, ref), sid
+        else:
+            assert_lsb_close(got.ravel(), ref.ravel())
         checked += 1
     assert checked >= 5  # the fuzz actually exercised streams
 
