@@ -260,13 +260,14 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
                       scheme: str = "auto") -> BatchedStep:
     """Build the jitted steady-state step function.
 
-    ``scheme`` selects the tiled kernel's matmul precision scheme:
-    "highest" (f32 Precision.HIGHEST, 6 bf16 MXU passes) or "split5"
-    (5 explicit bf16 passes, measured ~12% faster at equal accuracy —
-    ops/pallas_fir.split5_weights).  "auto" = split5 for the tiled kernel
-    on the real TPU path, highest elsewhere (interpret-mode bf16 matmuls
-    are emulated and slow on CPU; the v4 streamed kernel would pay 1.5x
-    weight HBM traffic for its bf16 planes).
+    ``scheme`` selects the float-universe matmul precision scheme on the
+    tiled AND streamed Pallas kernels: "int8" (certificate-gated digit
+    planes, 2*D passes at 2x MXU rate), "split5" (5 explicit bf16
+    passes), or "highest" (f32 Precision.HIGHEST, 6 bf16 passes).
+    "auto" = int8 when the worst-case certificate clears the gate, else
+    split5, on the real TPU path; highest under interpret mode (CPU
+    bf16/int8 matmuls are emulated and slow) — see _resolve_scheme.
+    Fixed-universe specs always use the exact scheme="fixed".
 
     Time-major layout (lanes on the 128-wide minor axis — see
     ops/pallas_fir.py).  ``B`` is free (any batch size re-traces once per

@@ -142,7 +142,7 @@ class _Stream:
     real_frames: int = 0    # real (non-padding) frames pushed
     pulled: int = 0         # output frames already handed to the caller
     ended: bool = False
-    limit_override: int | None = None
+    byte_carry: bytes = b""  # pending partial-frame bytes (push_bytes)
     carryover: np.ndarray | None = None  # output owed after slot release
     transition: "_Transition | None" = None  # live rate-switch hand-off
 
@@ -292,9 +292,16 @@ class MultiFleet:
 
         C = self.channels
         if st.transition is not None:
-            # switching again mid-transition: the core chains set_rate;
-            # release the previously reserved (still inactive) slot
+            # switching again mid-transition: frames the transition
+            # retained (awaiting its phase-0 boundary) were pushed under
+            # the OLD config and must be processed under it BEFORE the
+            # core chains set_rate — dropping or deferring them past the
+            # switch would diverge from a reference core driven through
+            # the same push/switch sequence
+            for y in st.transition.finish():
+                self._add_carryover(st, y)
             core = st.transition.core
+            # release the previously reserved (still inactive) slot
             ob = self._buckets[st.key]
             ob.free.append(st.slot)
             st.slot = None
@@ -305,8 +312,8 @@ class MultiFleet:
             tail_in = fleet.peek_staged(st.slot)
             # salvage the byte-alignment carry before deactivation clears
             # it; it prefixes whatever push_bytes delivers next
-            st._byte_carry = (fleet.lane_carry(st.slot)
-                              + getattr(st, "_byte_carry", b""))
+            st.byte_carry = (fleet.lane_carry(st.slot)
+                              + st.byte_carry)
             hist = fleet.lane_history(st.slot)
             ir0, or0, q0 = st.key
             core = ResamplerCore(C, ir0, or0, ir0, or0, q0,
@@ -350,10 +357,10 @@ class MultiFleet:
         b.fleet.seed_lane_history(st.slot, tr.hist)
         if tr.staged_rest is not None and tr.staged_rest.shape[0]:
             b.fleet.push(st.slot, tr.staged_rest)
-        carry = getattr(st, "_byte_carry", b"")
+        carry = st.byte_carry
         if carry:
             b.fleet.push_bytes(st.slot, carry)
-            st._byte_carry = b""
+            st.byte_carry = b""
 
     # -- dataflow ------------------------------------------------------------
 
@@ -379,10 +386,10 @@ class MultiFleet:
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
         if st.transition is not None:
             # frame-align here (the stager's carry is bypassed mid-switch)
-            carry = getattr(st, "_byte_carry", b"") + data
+            carry = st.byte_carry + data
             fb = self.channels * 2
             keep = len(carry) - len(carry) % fb
-            st._byte_carry = carry[keep:]
+            st.byte_carry = carry[keep:]
             frames = np.frombuffer(carry[:keep], dtype="<i2").reshape(
                 -1, self.channels)
             self.push(sid, frames)
@@ -447,7 +454,7 @@ class MultiFleet:
                 "ended": st.ended,
                 "carryover": (None if st.carryover is None
                               else st.carryover.copy()),
-                "byte_carry": getattr(st, "_byte_carry", b""),
+                "byte_carry": st.byte_carry,
                 "transition": (None if st.transition is None else {
                     "core": st.transition.core.state_dict(),
                     "buf": st.transition.buf.copy(),
@@ -482,7 +489,7 @@ class MultiFleet:
             if ss["carryover"] is not None:
                 st.carryover = np.array(ss["carryover"], dtype=np.int16)
             if ss["byte_carry"]:
-                st._byte_carry = bytes(ss["byte_carry"])
+                st.byte_carry = bytes(ss["byte_carry"])
             if ss["transition"] is not None:
                 core = ResamplerCore(self.channels, 1, 1, 1, 1, 4,
                                      fixed_point=self.fixed_point)

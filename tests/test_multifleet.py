@@ -409,3 +409,36 @@ def test_multifleet_set_stream_rate_fixed_oracle(oracle_fixed, tmp_path):
     m = min(got.shape[0], want.shape[0])
     assert abs(got.shape[0] - want.shape[0]) <= 2, (got.shape, want.shape)
     assert np.array_equal(got[:m], want[:m])
+
+
+def test_multifleet_chained_rate_switch_mid_transition():
+    """Switching again while a transition is live must not drop the frames
+    the old transition retained: they were pushed under the intermediate
+    config and must be processed under it before the chained set_rate."""
+    rng = np.random.default_rng(13)
+    mf = MultiFleet(channels=1, capacity_per_bucket=2,
+                    target_chunk_frames=512, use_pallas=False)
+    xa = rng.integers(-20000, 20000, size=(100, 1)).astype(np.int16)
+    xb = rng.integers(-20000, 20000, size=(3, 1)).astype(np.int16)
+    xc = rng.integers(-20000, 20000, size=(2000, 1)).astype(np.int16)
+    mf.add_stream("s", 24000, 48000, 5)
+    mf.push("s", xa)
+    mf.set_stream_rate("s", 44100, 48000, 7)
+    mf.push("s", xb)            # tiny push: retained by the live transition
+    mf.set_stream_rate("s", 48000, 48000, 5)   # chained switch
+    mf.push("s", xc)
+    mf.flush()
+    got = mf.pull("s")
+
+    core = ResamplerCore(1, 24000, 48000, 24000, 48000, 5)
+    p1 = core.process_interleaved(xa, 10 ** 9)
+    core.set_rate(44100, 48000)
+    core.set_quality(7)
+    p2 = core.process_interleaved(xb, 10 ** 9)
+    core.set_rate(48000, 48000)
+    core.set_quality(5)
+    p3 = core.process_interleaved(xc, 10 ** 9)
+    ref = np.concatenate([p1, p2, p3])
+    m = min(got.shape[0], ref.shape[0])
+    assert abs(got.shape[0] - ref.shape[0]) <= 2, (got.shape, ref.shape)
+    assert_lsb_close(got[:m].ravel(), ref[:m].ravel())
