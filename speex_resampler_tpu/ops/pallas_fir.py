@@ -118,7 +118,7 @@ def _dot_int8(plane, bias_row, u32, scales):
     return acc + bias_row[:, None]
 
 
-def fixed_weight_planes_tiled(w16, n_accum: int = 1):
+def fixed_weight_planes_tiled(w16):
     """Host-side EXACT plane decomposition for the "fixed" scheme
     (FIXED_POINT universe, int16 taps).
 
