@@ -80,6 +80,10 @@ class BatchSpec:
     kernel == "streamed": same block geometry, but the weight cycle is too
     large for VMEM (P = den for coprime ratios) and streams from HBM with
     manual double-buffered DMA (resample_conv_tm_pallas_v4).
+    kernel == "gather": pathological huge-den ratios (e.g. 44100->44101)
+    whose padded/cyclic weight matrices would be GBs; per-output tap rows
+    are gathered host-side once and the launch is a per-tile dot
+    (fm.resample_gather; the fixed universe runs the exact host loops).
     """
     num: int
     den: int
@@ -110,6 +114,25 @@ class BatchSpec:
         if self.kernel in ("tiled", "streamed"):
             return self.n_blocks * self.R
         return self.n_blocks * self.group * self.den
+
+
+def _tiled_weight_bytes_estimate(spec: fd.FilterSpec, R: int = 128) -> int:
+    """Size of the phase-tiled weight set WITHOUT building it (the probe
+    itself would allocate GBs for pathological coprime ratios)."""
+    g = math.gcd(R * spec.num, spec.den)
+    P0 = spec.den // g
+    S0 = P0 * R * spec.num // spec.den
+    factor = 16 // math.gcd(max(S0, 1), 16)
+    P = P0 * factor
+    K = spec.filt_len + (R - 1) * spec.num // spec.den + 32
+    itemsize = 2 if spec.fixed_point else 4
+    return P * K * R * itemsize
+
+
+def _dense_weight_bytes(spec: fd.FilterSpec) -> int:
+    group = fm.choose_group(spec.num, spec.den, spec.filt_len)
+    L = spec.filt_len + group * spec.num
+    return L * group * spec.den * 4
 
 
 def _resolve_scheme(pallas_fir, w_cert: np.ndarray, scheme: str,
@@ -206,9 +229,10 @@ def _launch_geometry(spec: fd.FilterSpec, target_in_frames: int,
         # scheme when the planes fit VMEM residency, else the dense XLA
         # path (XLA's int8 GEMM lowering is slow — experiments/
         # fixed_formulation_bench.py — but stays well above 1 G/s)
-        if use_pallas:
+        n_cols = 1 if spec.use_direct else 4
+        if (use_pallas and _tiled_weight_bytes_estimate(spec) * n_cols
+                <= 2 * _MAX_STREAMED_WEIGHT_BYTES):
             ptw = _tiled_weights(spec, f0)
-            n_cols = 1 if spec.use_direct else 4
             from ..ops import pallas_fir
             if ptw.w.nbytes * n_cols <= _MAX_FIXED_TILED_WEIGHT_BYTES:
                 gp = pallas_fir._v3_periods_per_program(ptw.P)
@@ -228,7 +252,8 @@ def _launch_geometry(spec: fd.FilterSpec, target_in_frames: int,
                                  kernel="streamed", S=ptw.S, P=ptw.P,
                                  R=ptw.R)
         use_pallas = False
-    if use_pallas:
+    if use_pallas and (_tiled_weight_bytes_estimate(spec)
+                       <= 2 * _MAX_STREAMED_WEIGHT_BYTES):
         from ..ops import pallas_fir
         ptw = _tiled_weights(spec, f0)
         if ptw.w.nbytes <= _MAX_TILED_WEIGHT_BYTES:
@@ -244,6 +269,14 @@ def _launch_geometry(spec: fd.FilterSpec, target_in_frames: int,
                              quality=spec.quality, filt_len=spec.filt_len,
                              group=1, n_blocks=n_periods * ptw.P, f0=f0,
                              kernel="streamed", S=ptw.S, P=ptw.P, R=ptw.R)
+    if _dense_weight_bytes(spec) > fm.MAX_PADDED_WEIGHT_BYTES:
+        # pathological huge-den ratio: any padded/cyclic weight matrix is
+        # GBs — fall to the weight-free gather geometry (one quantum of
+        # num inputs -> den outputs per block)
+        n_blocks = max(1, round(target_in_frames / spec.num))
+        return BatchSpec(num=spec.num, den=spec.den, quality=spec.quality,
+                         filt_len=spec.filt_len, group=1,
+                         n_blocks=n_blocks, f0=f0, kernel="gather")
     group = fm.choose_group(spec.num, spec.den, spec.filt_len)
     stride = group * spec.num
     n_blocks = max(1, round(target_in_frames / stride))
@@ -436,6 +469,47 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
                            zero_tail=ptw.K, scheme=scheme)
 
     stride = bspec.stride
+
+    if bspec.kernel == "gather":
+        # pathological huge-den ratios: weight-free per-output tap gather.
+        # Rare serving path — mesh sharding is not supported here (the
+        # fixed variant runs the exact host loops).
+        if mesh is not None:
+            raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
+        num, den, f0 = spec.num, spec.den, bspec.f0
+        if spec.fixed_point:
+            from ..ops import fir_fixed
+
+            def step(hist, x, w):
+                X = np.concatenate([to_host(hist),
+                                    to_host(x)[:n_in]], axis=0)
+                y = fir_fixed.resample_fixed(
+                    np.ascontiguousarray(X.T), 0, f0, n_out, spec)
+                return X[-(N - 1):], np.ascontiguousarray(y.T)
+
+            return BatchedStep(fn=step, w=jnp.zeros(()), hist_rows=N - 1,
+                               chunk_rows=n_in, zero_tail=0,
+                               scheme="fixed")
+
+        tile = 2048
+        n_pad = max(-(-n_out // tile) * tile, tile)
+        k = np.arange(n_pad, dtype=np.int64)
+        t = f0 + k * num
+        starts_np = (t // den).astype(np.int32)
+        T = N - 1 + n_in
+        starts_np = np.minimum(starts_np, max(T - N, 0)).astype(np.int32)
+        taps_np = spec.phase_table[(t % den).astype(np.int64)]
+
+        def step(hist, x, w):
+            taps, starts = w
+            X = jnp.concatenate([hist, x[:n_in]], axis=0)
+            y = fm.resample_gather(X.T, taps, starts, tile=tile)
+            return X[n_in:], y[:, :n_out].T
+
+        return BatchedStep(fn=jax.jit(step),
+                           w=(jnp.asarray(taps_np), jnp.asarray(starts_np)),
+                           hist_rows=N - 1, chunk_rows=n_in, zero_tail=0,
+                           scheme="highest")
 
     if spec.fixed_point:
         # FIXED_POINT universe: exact int8-plane matmul (bit-exact vs the

@@ -529,3 +529,30 @@ def test_batched_random_config_fuzz_interpret():
         assert got.shape == ref.shape, (ir, orr, q, got.shape, ref.shape)
         assert_lsb_close(got.ravel(), ref.ravel())
         tried += 1
+
+
+@pytest.mark.parametrize("fixed", [False, True])
+def test_batched_gather_pathological_ratio(fixed):
+    """Huge-den coprime ratios (44100->44101) must not build GB weight
+    matrices: the engine falls to the weight-free gather geometry (the
+    tiled-weight probe is skipped via a size ESTIMATE).  Launch quantum is
+    one num-block (~1 s of audio — inherent to f0-invariant batching at
+    such ratios)."""
+    S, C, n = 2, 1, 95000
+    frames = _random_frames(S, n, C, seed=5)
+    eng = BatchedResampler(S, C, 44100, 44101, 1,
+                           target_chunk_frames=44100, use_pallas=True,
+                           fixed_point=fixed)
+    assert eng.bspec.kernel == "gather"
+    y = np.concatenate([eng.process(frames), eng.flush()], axis=1)
+    from speex_resampler_tpu.core.resampler import ResamplerCore
+    for s in range(S):
+        core = ResamplerCore(C, 44100, 44101, 44100, 44101, 1,
+                             fixed_point=fixed)
+        ref = core.process_interleaved(frames[s], 10 ** 9)
+        m = min(y.shape[1], len(ref))
+        assert abs(y.shape[1] - len(ref)) <= 1
+        if fixed:
+            assert np.array_equal(y[s, :m], ref[:m])
+        else:
+            assert_lsb_close(y[s, :m].ravel(), ref[:m].ravel())
