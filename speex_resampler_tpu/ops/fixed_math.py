@@ -90,11 +90,17 @@ def pdiv32(a, b) -> np.ndarray:
     a = _i32(a)
     bias = _i32(to_word16(b)) >> 1
     with np.errstate(over="ignore"):
-        num = a + bias
-    den = _i32(b)
-    # C integer division truncates toward zero; numpy // floors
-    q = np.abs(num) // np.abs(den)
-    return np.where((num < 0) != (den < 0), -q, q).astype(I32)
+        num = a + bias  # ADD32 wraps in int32 (can land exactly on INT32_MIN)
+    # C integer division truncates toward zero; numpy // floors.  The
+    # quotient must be computed in int64: np.abs(INT32_MIN) wraps back to
+    # INT32_MIN in int32, which poisoned the sign fixup for any
+    # interpolated config with den >= 65537 (SHL32(rem,15) can wrap to
+    # exactly -2^31).  The int32-wrapped ``num`` above is the C value; only
+    # the division widens.
+    num64 = num.astype(np.int64)
+    den64 = _i32(b).astype(np.int64)
+    q = np.abs(num64) // np.abs(den64)
+    return np.where((num64 < 0) != (den64 < 0), -q, q).astype(I32)
 
 
 def word2int_fixed(x) -> np.ndarray:

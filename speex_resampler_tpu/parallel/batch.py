@@ -132,7 +132,10 @@ def _tiled_weight_bytes_estimate(spec: fd.FilterSpec, R: int = 128) -> int:
 def _dense_weight_bytes(spec: fd.FilterSpec) -> int:
     group = fm.choose_group(spec.num, spec.den, spec.filt_len)
     L = spec.filt_len + group * spec.num
-    return L * group * spec.den * 4
+    # fixed-universe dense weights are two int8 digit planes (~2 B/entry),
+    # float is f32 (4 B/entry) — mirroring _tiled_weight_bytes_estimate
+    itemsize = 2 if spec.fixed_point else 4
+    return L * group * spec.den * itemsize
 
 
 def _resolve_scheme(pallas_fir, w_cert: np.ndarray, scheme: str,
@@ -648,6 +651,11 @@ class BatchedResampler:
         else:
             self._lane_sharding = self._repl_sharding = None
         self._f0 = 0
+        # zero-fill degradation (resample.c:561-591, :785-791): a device
+        # failure swaps the engine onto a host zero-output step that keeps
+        # consuming/producing the exact sample counts, so fleet callers
+        # ignoring errors can't deadlock.  Sticky, like the C fn-ptr swap.
+        self._degraded = False
         # compiled steps keyed by f0 (mid-stream skip_zeros/flush rebuilds
         # revisit phases; keep a few so repeat switches don't re-trace)
         self._step_cache: dict = {}
@@ -671,6 +679,12 @@ class BatchedResampler:
         phase weights and the chunk-rows padding change — so staging and
         readiness are unaffected.  Rebuilds happen on cold control-path
         operations (mid-stream skip_zeros / flush continuation)."""
+        if self._degraded:
+            # the zero-output step is phase-weight-free; only the phase
+            # counter matters for sample accounting (quantum is
+            # f0-independent), and the dead device must not be touched
+            self._f0 = f0
+            return
         cached = self._step_cache.get(f0)
         if cached is None:
             bspec = _launch_geometry(self.spec, self._target,
@@ -737,11 +751,15 @@ class BatchedResampler:
         chunk[:s] = staged
         _, y = self._launch(chunk)
         if m:
-            self._carry_out.append(to_host(y)[:m])
-        hist = jnp.asarray(np.concatenate([hist_host, staged])[s:])
-        if self._lane_sharding is not None:
-            hist = jax.device_put(hist, self._lane_sharding)
-        self._hist = hist
+            self._carry_out.append(self._recv(y)[:m])
+        hist_np = np.concatenate([hist_host, staged])[s:]
+        if self._degraded:
+            self._hist = hist_np
+        else:
+            hist = jnp.asarray(hist_np)
+            if self._lane_sharding is not None:
+                hist = jax.device_put(hist, self._lane_sharding)
+            self._hist = hist
         t = self._f0 + m * num
         self._skip = t // den - s     # pending origin advance, >= 0
         if t % den != self._f0:
@@ -761,13 +779,20 @@ class BatchedResampler:
         self._skip = self.spec.filt_len // 2
 
     def reset_mem(self):
-        """resample.c:1208-1220."""
+        """resample.c:1208-1220.  Note degradation survives a reset, like
+        the C core (reset_mem never re-runs update_filter, so the zero
+        resampler_ptr installed on failure stays installed)."""
         if self._f0 != 0:
             self._build_step(0)
-        self._hist = jnp.zeros((self._step.hist_rows, self.B),
-                               dtype=jnp.int16)
-        if self._lane_sharding is not None:
-            self._hist = jax.device_put(self._hist, self._lane_sharding)
+        if self._degraded:
+            self._hist = np.zeros((self._step.hist_rows, self.B),
+                                  dtype=np.int16)
+        else:
+            self._hist = jnp.zeros((self._step.hist_rows, self.B),
+                                   dtype=jnp.int16)
+            if self._lane_sharding is not None:
+                self._hist = jax.device_put(self._hist,
+                                            self._lane_sharding)
         self._staged = np.zeros((0, self.B), dtype=np.int16)
         self._skip = 0
         self._carry_out = []
@@ -784,6 +809,7 @@ class BatchedResampler:
             "staged": self._staged.copy(),
             "skip": self._skip,
             "f0": self._f0,
+            "degraded": self._degraded,
             "carry_out": [o.copy() for o in self._carry_out],
         }
 
@@ -795,12 +821,17 @@ class BatchedResampler:
                 state.get("fixed_point", False) != self.fixed_point:
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
         f0 = int(state.get("f0", 0))
+        if state.get("degraded", False):
+            self._degraded = True
         if f0 != self._f0:
             self._build_step(f0)
-        hist = jnp.asarray(state["hist"])
-        if self._lane_sharding is not None:
-            hist = jax.device_put(hist, self._lane_sharding)
-        self._hist = hist
+        if self._degraded:
+            self._hist = np.array(state["hist"], dtype=np.int16)
+        else:
+            hist = jnp.asarray(state["hist"])
+            if self._lane_sharding is not None:
+                hist = jax.device_put(hist, self._lane_sharding)
+            self._hist = hist
         self._staged = np.array(state["staged"], dtype=np.int16)
         self._skip = int(state["skip"])
         self._carry_out = [np.array(o, dtype=np.int16)
@@ -820,10 +851,14 @@ class BatchedResampler:
         if self._skip:
             # fold the first k frames into the history tail (see skip_zeros)
             k = min(self._skip, x.shape[0])
-            absorbed = jnp.asarray(np.ascontiguousarray(x[:k]))
-            if self._lane_sharding is not None:
-                absorbed = jax.device_put(absorbed, self._lane_sharding)
-            self._hist = jnp.concatenate([self._hist[k:], absorbed], axis=0)
+            if self._degraded:
+                self._hist = np.concatenate([self._hist[k:], x[:k]], axis=0)
+            else:
+                absorbed = jnp.asarray(np.ascontiguousarray(x[:k]))
+                if self._lane_sharding is not None:
+                    absorbed = jax.device_put(absorbed, self._lane_sharding)
+                self._hist = jnp.concatenate([self._hist[k:], absorbed],
+                                             axis=0)
             x = x[k:]
             self._skip -= k
         self._staged = np.concatenate([self._staged, x], axis=0)
@@ -833,14 +868,14 @@ class BatchedResampler:
         while self._staged.shape[0] >= q:
             # depth-1 dispatch pipeline: launch i+1 is dispatched before
             # launch i's result is pulled, overlapping device compute with
-            # host readback (dispatch is async; to_host blocks properly)
+            # host readback (dispatch is async; _recv blocks properly)
             chunk, self._staged = self._staged[:q], self._staged[q:]
             self._hist, y = self._launch(chunk)
             if pending is not None:
-                outs.append(to_host(pending))
+                outs.append(self._recv(pending))
             pending = y
         if pending is not None:
-            outs.append(to_host(pending))
+            outs.append(self._recv(pending))
         if outs:
             return self._from_lanes(np.concatenate(outs, axis=0), frames)
         return self._from_lanes(np.zeros((0, self.B), dtype=np.int16),
@@ -857,10 +892,57 @@ class BatchedResampler:
             return np.zeros((self.n_streams, 0, self.channels), np.int16)
         return self._lanes_to_frames(np.concatenate(outs, axis=0))
 
+    # -- zero-fill degradation (resample.c:561-591 analog) ----------------
+
+    @property
+    def degraded(self) -> bool:
+        """True once a device failure swapped in the zero-output step."""
+        return self._degraded
+
+    def _enter_degraded(self) -> None:
+        """Swap onto the host zero-output step (the fn-ptr swap of
+        resample.c:785-791).  Sticky: like the C core, reset_mem does not
+        reinstall the real resampler.  The filter history is salvaged if
+        the device can still be read, else zeroed — degraded output is
+        all-zero either way, so accounting (the only remaining contract)
+        is unaffected."""
+        if self._degraded:
+            return
+        self._degraded = True
+        try:
+            h = to_host(self._hist)
+        except Exception:
+            h = np.zeros((self._step.hist_rows, self.B), dtype=np.int16)
+        self._hist = np.array(h, dtype=np.int16)
+
+    def _degraded_launch(self, chunk_np: np.ndarray):
+        """Host zero-output launch with exact sample accounting: consumes
+        q rows, emits n_out zero rows, advances history identically to the
+        healthy step (resampler_basic_zero advances state while writing
+        zeros, resample.c:561-591)."""
+        q = self.bspec.in_per_launch
+        H = self._step.hist_rows
+        hist = np.concatenate([self._hist, chunk_np[:q]], axis=0)[-H:]
+        y = np.zeros((self.bspec.out_per_launch, self.B), dtype=np.int16)
+        return hist, y
+
+    def _recv(self, y) -> np.ndarray:
+        """Blocking readback of a dispatched launch result; an async
+        device failure surfacing here degrades the engine and substitutes
+        the exact count of zero samples."""
+        try:
+            return to_host(y)
+        except Exception:
+            self._enter_degraded()
+            return np.zeros((self.bspec.out_per_launch, self.B),
+                            dtype=np.int16)
+
     def _launch(self, chunk_np: np.ndarray):
         """Async-dispatch one launch; the result is NOT yet ready — readers
-        must go through utils.host.to_host (np.asarray on a not-yet-ready
-        array can deadlock on some backends)."""
+        must go through _recv/to_host (np.asarray on a not-yet-ready array
+        can deadlock on some backends)."""
+        if self._degraded:
+            return self._degraded_launch(chunk_np)
         q = self.bspec.in_per_launch
         if chunk_np.shape[0] == self._step.chunk_rows:
             slab = chunk_np
@@ -869,10 +951,14 @@ class BatchedResampler:
             slab = self._slabs[self._slab_i]
             self._slab_i ^= 1
             slab[:q] = chunk_np
-        x = jnp.asarray(slab)
-        if self._lane_sharding is not None:
-            x = jax.device_put(x, self._lane_sharding)
-        return self._step.fn(self._hist, x, self._w)
+        try:
+            x = jnp.asarray(slab)
+            if self._lane_sharding is not None:
+                x = jax.device_put(x, self._lane_sharding)
+            return self._step.fn(self._hist, x, self._w)
+        except Exception:
+            self._enter_degraded()
+            return self._degraded_launch(chunk_np)
 
     # -- layout helpers ---------------------------------------------------
     # lane l = stream*channels + channel; time-major [n, B] on device.

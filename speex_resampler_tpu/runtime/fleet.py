@@ -75,6 +75,10 @@ class FleetResampler:
         self._slab_i = 0
         self._out: list[list[np.ndarray]] = [[] for _ in range(n_streams)]
         self.stats = LaunchStats()
+        # zero-fill degradation (resample.c:561-591, :785-791 analog): a
+        # device failure swaps poll() onto a host zero-output dispatch
+        # with exact sample accounting.  Sticky, like the C fn-ptr swap.
+        self._degraded = False
 
     # -- ingress ----------------------------------------------------------
 
@@ -108,10 +112,10 @@ class FleetResampler:
             self._stager.fill_launch(out=slab)
             y = self._dispatch(slab)
             if pending is not None:
-                self._bank(to_host(pending), None)
+                self._bank(self._recv(pending), None)
             pending = y
         if pending is not None:
-            self._bank(to_host(pending), None)
+            self._bank(self._recv(pending), None)
         return n
 
     def flush(self) -> None:
@@ -121,19 +125,65 @@ class FleetResampler:
         slab, staged = self._stager.fill_flush()
         if slab is None:
             return
-        y = to_host(self._dispatch_chunk(slab))
+        y = self._recv(self._dispatch_chunk(slab))
         per_stream = [ph.producible_outputs(int(f), 0, self.bspec.f0,
                                             self.spec.num, self.spec.den)
                       for f in staged]
         self._bank(y, per_stream)
 
+    # -- zero-fill degradation (resample.c:561-591 analog) ----------------
+
+    @property
+    def degraded(self) -> bool:
+        """True once a device failure swapped in the zero-output path."""
+        return self._degraded
+
+    def _enter_degraded(self) -> None:
+        """Swap onto a host zero-output dispatch (the resample.c:785-791
+        fn-ptr swap).  Sticky.  History is salvaged if the device is still
+        readable, else zeroed — output is all-zero either way, so only
+        sample accounting (preserved exactly) remains observable."""
+        if self._degraded:
+            return
+        self._degraded = True
+        try:
+            h = to_host(self._hist)
+        except Exception:
+            h = np.zeros((self._step.hist_rows, self.B), dtype=np.int16)
+        self._hist = np.array(h, dtype=np.int16)
+
+    def _degraded_dispatch(self, slab: np.ndarray):
+        """Zero-output launch: consume q rows, emit n_out zero rows,
+        advance history identically to the healthy step."""
+        q = self.bspec.in_per_launch
+        H = self._step.hist_rows
+        self._hist = np.concatenate([self._hist, slab[:q]], axis=0)[-H:]
+        return np.zeros((self.bspec.out_per_launch, self.B),
+                        dtype=np.int16)
+
+    def _recv(self, y) -> np.ndarray:
+        """Blocking readback; an async device failure surfacing here
+        degrades the fleet and substitutes the exact count of zeros."""
+        try:
+            return to_host(y)
+        except Exception:
+            self._enter_degraded()
+            return np.zeros((self.bspec.out_per_launch, self.B),
+                            dtype=np.int16)
+
     def _dispatch(self, slab: np.ndarray):
         """Async-dispatch one launch on a fully prepared slab."""
         with self.stats.launch(self.bspec.in_per_launch * self.B,
                                self.bspec.out_per_launch * self.B):
-            x = jnp.asarray(slab)
-            self._hist, y = self._step.fn(self._hist, x, self._w)
-            return y
+            if self._degraded:
+                return self._degraded_dispatch(slab)
+            try:
+                x = jnp.asarray(slab)
+                self._hist, y = self._step.fn(self._hist, x, self._w)
+                return y
+            except Exception:
+                self._enter_degraded()
+                return self._degraded_dispatch(slab)
 
     def _dispatch_chunk(self, chunk: np.ndarray):
         """Dispatch from a bare [n_in, B] chunk (e.g. the flush slab)."""
@@ -169,7 +219,10 @@ class FleetResampler:
         output (staging is cleared by deactivation)."""
         c = self.channels
         lane = slot * c
-        self._hist = self._hist.at[:, lane:lane + c].set(jnp.int16(0))
+        if self._degraded:
+            self._hist[:, lane:lane + c] = 0
+        else:
+            self._hist = self._hist.at[:, lane:lane + c].set(jnp.int16(0))
         self._out[slot] = []
 
     def seed_lane_history(self, slot: int, hist: np.ndarray) -> None:
@@ -186,7 +239,11 @@ class FleetResampler:
         buf = np.zeros((H, c), dtype=np.int16)
         buf[H - (N - 1):] = hist
         lane = slot * c
-        self._hist = self._hist.at[:, lane:lane + c].set(jnp.asarray(buf))
+        if self._degraded:
+            self._hist[:, lane:lane + c] = buf
+        else:
+            self._hist = self._hist.at[:, lane:lane + c].set(
+                jnp.asarray(buf))
 
     def lane_history(self, slot: int) -> np.ndarray:
         """One lane's filter history, [hist_rows, C] — valid for hand-off
@@ -216,6 +273,7 @@ class FleetResampler:
             "quality": self.spec.quality,
             "fixed_point": self.fixed_point,
             "active": list(self._active),
+            "degraded": self._degraded,
             "hist": to_host(self._hist),
             "staged": [self._stager.peek(s) for s in range(self.n_streams)],
             "carry": [self._stager.carry(s) for s in range(self.n_streams)],
@@ -230,7 +288,11 @@ class FleetResampler:
                 (self.in_rate, self.out_rate, self.spec.quality) or \
                 state.get("fixed_point", False) != self.fixed_point:
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
-        self._hist = jnp.asarray(state["hist"])
+        if state.get("degraded", False):
+            self._degraded = True
+            self._hist = np.array(state["hist"], dtype=np.int16)
+        else:
+            self._hist = jnp.asarray(state["hist"])
         self._stager = make_stager(self.n_streams, self.channels,
                                    self.bspec.in_per_launch)
         # restore occupancy before staging (deactivation clears staging)

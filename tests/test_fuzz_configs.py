@@ -115,3 +115,42 @@ def test_full_sinc_table_flag(oracle_fullsinc, tmp_path):
     cap = (len(frames) * 2 * 2 * 48000 + 44099) // 44100 // 4
     ours = core.process_interleaved(frames, cap)
     assert_lsb_close(ours.reshape(-1), golden)
+
+
+# ---------------------------------------------------------------------------
+# Huge reduced denominators (den >= 65537): the SHL32(rem,15) wrap regime
+# ---------------------------------------------------------------------------
+# In the fixed build's interpolated table math, frac = PDIV32(SHL32(rem,15),
+# den) where SHL32 wraps in int32 once den >= 65537 (rem can reach den-1, so
+# rem<<15 can land exactly on -2^31).  An int32 |.| in pdiv32 used to wrap
+# INT32_MIN back onto itself and flip the C truncating-division sign fixup,
+# poisoning one Q15 cubic coefficient roughly every 2*den outputs (advisor
+# round-2 finding).  These runs cross that phase (> 2*den outputs would be
+# enormous; instead the poisoned phase index is hit well within ~den outputs
+# because offsets stride by oversample) and must be zero-mismatch.
+
+@pytest.mark.parametrize("ir,orr,q", [
+    (44100, 65537, 7),    # den = 65537 (prime), the advisor reproducer
+    (48000, 96001, 7),    # den = 96001
+    (44100, 131071, 4),   # den = 131071 (Mersenne prime), low quality
+])
+def test_fixed_huge_den_vs_oracle(oracle_fixed, tmp_path, ir, orr, q):
+    rng = np.random.default_rng(ir ^ orr)
+    n = 30000
+    frames = rng.integers(-32768, 32768, size=(n, 1)).astype(np.int16)
+    golden = oracle_process(oracle_fixed, tmp_path, frames.tobytes(), 1,
+                            ir, orr, q)
+    ours = _run_ours(frames, 1, ir, orr, q, chunk=0, fixed=True)
+    assert np.array_equal(ours.reshape(-1), golden)
+
+
+def test_float_huge_den_vs_oracle(oracle, tmp_path):
+    """Float universe sanity on the same wrap-regime ratio (the float table
+    math never takes pdiv32, but the offset/rem uint32 wrap is shared)."""
+    rng = np.random.default_rng(9)
+    frames = rng.integers(-32768, 32768, size=(30000, 1)).astype(np.int16)
+    golden = oracle_process(oracle, tmp_path, frames.tobytes(), 1,
+                            44100, 65537, 7)
+    ours = _run_ours(frames, 1, 44100, 65537, 7, chunk=0, fixed=False)
+    assert ours.size == golden.size
+    assert_lsb_close(ours.reshape(-1), golden)
