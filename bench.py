@@ -59,7 +59,8 @@ REPO = Path(__file__).resolve().parent
 
 
 def measure_config(in_rate, out_rate, quality, *, use_pallas,
-                   target_in_frames=TARGET_IN_FRAMES, fixed_point=False):
+                   target_in_frames=TARGET_IN_FRAMES, fixed_point=False,
+                   n_slopes=3):
     """Median scan-slope per-launch seconds + geometry for one config."""
     B = N_STREAMS * CHANNELS
     g = math.gcd(in_rate, out_rate)
@@ -108,15 +109,23 @@ def measure_config(in_rate, out_rate, quality, *, use_pallas,
                                                      - ITERS_SHORT)
 
     # chip/tunnel load varies between sessions; take the median of several
-    # independent slope measurements
-    slopes = sorted(one_slope(s) for s in range(3))
+    # independent slope measurements, and record best + spread so a busy
+    # chip can't masquerade as a kernel regression (BENCH is the driver's
+    # only perf gate; the same compiled flagship config has measured
+    # 0.13-0.44 ms/launch across contention windows)
+    slopes = sorted(one_slope(s) for s in range(n_slopes))
     per_launch = slopes[len(slopes) // 2]
+    best = slopes[0]
+    spread = (slopes[-1] - slopes[0]) / per_launch if per_launch else 0.0
     return {
         "kernel": bspec.kernel,
         "scheme": bstep.scheme,
         "launch_ms": round(per_launch * 1e3, 4),
+        "launch_ms_best": round(best * 1e3, 4),
+        "launch_ms_spread": round(spread, 3),
         "launch_ms_runs": [round(v * 1e3, 4) for v in slopes],
         "out_samples_per_sec": round(bspec.out_per_launch * B / per_launch),
+        "out_samples_per_sec_best": round(bspec.out_per_launch * B / best),
         "in_samples_per_sec": round(bspec.in_per_launch * B / per_launch),
         "in_frames_per_launch": bspec.in_per_launch,
         "out_frames_per_launch": bspec.out_per_launch,
@@ -147,12 +156,141 @@ def oracle_cpu_baseline(in_rate, out_rate, quality, seconds=1.5,
         return {"error": repr(e)}
 
 
+def stager_bench():
+    """Native host stager throughput (the host-path ceiling): gather
+    (per-stream FIFOs -> time-major slab) and scatter (slab -> per-stream
+    PCM) int16 samples/s at the flagship geometry.  This is the e2e
+    bottleneck when host and chip are co-located; without it in BENCH,
+    host-side regressions are invisible to the driver."""
+    try:
+        from speex_resampler_tpu.runtime.native import NativeStager
+        S, C, n_in, n_out = N_STREAMS, CHANNELS, TARGET_IN_FRAMES, 10240
+        K = 8
+        st = NativeStager(S, C, n_in)
+        threads = st.set_threads(4)
+        rng = np.random.default_rng(0)
+        frames = rng.integers(-32768, 32768,
+                              size=(S, K * n_in, C)).astype(np.int16)
+        slab = np.empty((n_in, S * C), dtype=np.int16)
+        y = rng.integers(-32768, 32768,
+                         size=(n_out, S * C)).astype(np.int16)
+        g_best = s_best = 9e9
+        for _ in range(3):
+            for s in range(S):
+                st.push(s, frames[s])
+            t0 = time.perf_counter()
+            for _ in range(K):
+                st.fill_launch(out=slab)
+            g_best = min(g_best, (time.perf_counter() - t0) / K)
+            t0 = time.perf_counter()
+            for _ in range(K):
+                st.unpack_all(y)
+            s_best = min(s_best, (time.perf_counter() - t0) / K)
+        return {"threads": threads,
+                "gather_samples_per_sec": round(n_in * S * C / g_best),
+                "scatter_samples_per_sec": round(y.size / s_best)}
+    except Exception as e:
+        return {"error": repr(e)}
+
+
+def fleet_e2e(fixed_point=False):
+    """End-to-end through FleetResampler (ragged staging + native gather/
+    scatter + device launches + readback), samples/s.  Tunnel-bound in
+    this harness, but records host-path + fixed-universe e2e health."""
+    try:
+        from speex_resampler_tpu.runtime.fleet import FleetResampler
+        S, C = N_STREAMS, CHANNELS
+        fleet = FleetResampler(S, C, *FLAGSHIP[:2], FLAGSHIP[2],
+                               target_chunk_frames=TARGET_IN_FRAMES,
+                               fixed_point=fixed_point)
+        q = fleet.bspec.in_per_launch
+        rng = np.random.default_rng(0)
+        frames = (rng.integers(-32768, 32768, size=(S, q, C)) // 2).astype(
+            np.int16)
+        for s in range(S):
+            fleet.push(s, frames[s])
+        fleet.poll()  # warmup/compile
+        produced = 0
+        iters = 3
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            for s in range(S):
+                fleet.push(s, frames[s])
+            fleet.poll()
+            for s in range(S):
+                produced += fleet.pull(s).size
+        dt = time.perf_counter() - t0
+        return {"out_samples_per_sec": round(produced / dt),
+                "degraded": fleet.degraded}
+    except Exception as e:
+        return {"error": repr(e)}
+
+
+def shardmap_onchip_check():
+    """Mosaic-compiled Pallas kernels under jax.shard_map ON THE REAL
+    CHIP: a 1-device Mesh is the multi-chip code path (shard_map wrapping
+    an opaque pallas_call) minus the extra chips this harness doesn't
+    have.  Asserts the sharded launch is bit-equal to the direct call at
+    production geometry for the tiled (v3 int8) and streamed (v4) kernels
+    in BOTH numeric universes — the one untested ingredient of the
+    multi-chip story that CAN be tested here (streams are share-nothing:
+    reference Readme.md:20-21)."""
+    results = {}
+    devs = jax.devices()
+    mesh = jax.sharding.Mesh(np.array(devs[:1]), ("streams",))
+    Pp = jax.sharding.PartitionSpec
+    lane = jax.sharding.NamedSharding(mesh, Pp(None, "streams"))
+    repl = jax.sharding.NamedSharding(mesh, Pp())
+    B = N_STREAMS * CHANNELS
+    cases = [
+        ("tiled_int8_flagship", FLAGSHIP, False, TARGET_IN_FRAMES),
+        ("streamed_int8_48k_44k_q10", (48000, 44100, 10), False, 4096),
+        ("tiled_fixed_flagship", FLAGSHIP, True, TARGET_IN_FRAMES),
+        ("streamed_fixed_48k_44k_q10", (48000, 44100, 10), True, 4096),
+    ]
+    rng = np.random.default_rng(7)
+    for name, (ir, orr, q), fixed, target in cases:
+        try:
+            g = math.gcd(ir, orr)
+            spec = fd.design_filter(ir // g, orr // g, q,
+                                    fixed_point=fixed)
+            bspec = _launch_geometry(spec, target, use_pallas=True)
+            expect = name.split("_")[0]
+            assert bspec.kernel == expect, (name, bspec.kernel)
+            direct = make_batched_step(spec, bspec, use_pallas=True)
+            sharded = make_batched_step(spec, bspec, use_pallas=True,
+                                        mesh=mesh)
+            h_np = (rng.integers(-32768, 32768,
+                                 size=(direct.hist_rows, B)) // 2).astype(
+                np.int16)
+            x_np = np.zeros((direct.chunk_rows, B), dtype=np.int16)
+            x_np[:bspec.in_per_launch] = (rng.integers(
+                -32768, 32768, size=(bspec.in_per_launch, B))
+                // 2).astype(np.int16)
+            _, y_d = direct.fn(jnp.asarray(h_np), jnp.asarray(x_np),
+                               direct.w)
+            _, y_s = sharded.fn(
+                jax.device_put(jnp.asarray(h_np), lane),
+                jax.device_put(jnp.asarray(x_np), lane),
+                jax.device_put(sharded.w, repl))
+            equal = bool(np.array_equal(np.asarray(y_d), np.asarray(y_s)))
+            results[name] = {"equal": equal, "scheme": direct.scheme,
+                             "in_frames": bspec.in_per_launch,
+                             "lanes": B}
+        except Exception as e:
+            results[name] = {"error": repr(e)}
+    results["all_equal"] = all(v.get("equal") is True
+                               for k, v in results.items()
+                               if k != "all_equal")
+    return results
+
+
 def main():
     backend = jax.default_backend()
     use_pallas = backend == "tpu"
     B = N_STREAMS * CHANNELS
 
-    flag = measure_config(*FLAGSHIP, use_pallas=use_pallas)
+    flag = measure_config(*FLAGSHIP, use_pallas=use_pallas, n_slopes=5)
     device_sps = flag["out_samples_per_sec"]
 
     sweep = {}
@@ -161,7 +299,10 @@ def main():
         ref = oracle_cpu_baseline(ir, orate, q)
         sweep[f"{ir}->{orate} q{q}"] = {
             k: m[k] for k in ("kernel", "scheme", "launch_ms",
-                              "out_samples_per_sec", "in_samples_per_sec")
+                              "launch_ms_best", "launch_ms_spread",
+                              "out_samples_per_sec",
+                              "out_samples_per_sec_best",
+                              "in_samples_per_sec")
         } | {"vs_reference_cpu": (
             round(m["out_samples_per_sec"]
                   / ref["out_samples_per_sec"], 1)
@@ -176,7 +317,10 @@ def main():
         ref = oracle_cpu_baseline(ir, orate, q, fixed_point=True)
         fixed[f"{ir}->{orate} q{q}"] = {
             k: m[k] for k in ("kernel", "scheme", "launch_ms",
-                              "out_samples_per_sec", "in_samples_per_sec")
+                              "launch_ms_best", "launch_ms_spread",
+                              "out_samples_per_sec",
+                              "out_samples_per_sec_best",
+                              "in_samples_per_sec")
         } | {"vs_reference_cpu": (
             round(m["out_samples_per_sec"]
                   / ref["out_samples_per_sec"], 1)
@@ -210,6 +354,9 @@ def main():
             "kernel": flag["kernel"],
             "scheme": flag["scheme"],
             "launch_ms": flag["launch_ms"],
+            "launch_ms_best": flag["launch_ms_best"],
+            "launch_ms_spread": flag["launch_ms_spread"],
+            "out_samples_per_sec_best": flag["out_samples_per_sec_best"],
             "launch_ms_runs": flag["launch_ms_runs"],
             "input_samples_per_sec": flag["in_samples_per_sec"],
             "vs_reference_cpu": (
@@ -223,6 +370,12 @@ def main():
             "out_frames_per_launch": flag["out_frames_per_launch"],
             "sweep": sweep,
             "fixed_point_universe": fixed,
+            "stager": stager_bench(),
+            "fleet_e2e": fleet_e2e(),
+            "fleet_e2e_fixed": fleet_e2e(fixed_point=True),
+            "on_chip_shardmap": (shardmap_onchip_check()
+                                 if use_pallas else
+                                 {"skipped": "no TPU backend"}),
         },
     }
     print(json.dumps(result))

@@ -21,23 +21,34 @@ __all__ = ["Preset", "PRESETS", "get_preset", "describe"]
 
 @dataclasses.dataclass(frozen=True)
 class Preset:
-    """An operating point: quality + per-launch audio budget."""
+    """An operating point: quality + per-launch audio budget.
+
+    ``hard_latency`` makes target_chunk_ms a HARD cap on the engine's
+    launch quantum (BatchedResampler/FleetResampler max_latency_ms): the
+    geometry falls back to latency-optimal kernels instead of rounding the
+    quantum up for MXU efficiency.  The voip preset uses it to guarantee
+    its 20 ms availability budget at fleet scale."""
     name: str
     quality: int
     target_chunk_ms: float   # audio staged per launch (latency/thru tradeoff)
     description: str
+    hard_latency: bool = False
 
     def target_chunk_frames(self, in_rate: int) -> int:
         return max(1, int(self.target_chunk_ms * in_rate / 1000))
 
     def engine_kwargs(self, in_rate: int) -> dict:
-        return {"quality": self.quality,
-                "target_chunk_frames": self.target_chunk_frames(in_rate)}
+        kw = {"quality": self.quality,
+              "target_chunk_frames": self.target_chunk_frames(in_rate)}
+        if self.hard_latency:
+            kw["max_latency_ms"] = self.target_chunk_ms
+        return kw
 
 
 PRESETS: dict[str, Preset] = {p.name: p for p in [
     Preset("voip", QUALITY_VOIP, 20.0,
-           "interactive voice: Q3 (~80 dB stopband), 20 ms launches"),
+           "interactive voice: Q3 (~80 dB stopband), hard 20 ms launches",
+           hard_latency=True),
     Preset("desktop", QUALITY_DESKTOP, 50.0,
            "general playback: Q5 (~100 dB stopband), 50 ms launches"),
     Preset("default", 7, 100.0,

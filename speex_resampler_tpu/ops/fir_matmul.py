@@ -272,3 +272,54 @@ def resample_conv_tm_fixed(x, w_planes, *, stride: int, n_accum: int = 1):
         from .fixed_math import sat32pshr15_jax
         y = sat32pshr15_jax(s)
     return y.reshape(n_blocks * (C // n_accum), B)
+
+
+@partial(jax.jit, static_argnames=("tile",))
+def resample_gather_fixed(x, taps, starts, coef=None, *, tile: int = 2048):
+    """FIXED_POINT gather fallback: exact on-device per-output tap-row dots
+    for pathological huge-den ratios (e.g. 44100->44101, where any padded/
+    cyclic weight matrix would be GBs; resample.c:331-384/:438-496 fixed
+    branches).
+
+    x:      int16[batch, T]
+    taps:   int16[n_pad, N] (direct table rows) or int16[n_pad, 4, N]
+            (interpolated accumulator rows), pre-gathered by phase
+    starts: int32[n_pad] clamped window origins
+    coef:   int32[n_pad, 4] Q15 cubic coefficients (interpolated path)
+    returns int16[batch, n_pad]
+
+    All accumulation is wrapping int32 via explicit VPU multiply+sum (no
+    integer dot_general lowering in the path), so the result is bit-exact
+    vs the C accumulator in ANY order — exactness by construction, like
+    resample_conv_tm_fixed.  Rare serving path; VPU-bound is acceptable.
+    """
+    from .fixed_math import sat32pshr15_jax
+    n_out, N = taps.shape[0], taps.shape[-1]
+    xi = x.astype(jnp.int32)
+    n_tiles = n_out // tile
+    assert n_tiles * tile == n_out, "caller pads n_out to a tile multiple"
+    interp = taps.ndim == 3
+
+    def do_tile(args):
+        if interp:
+            s, t, c = args            # [tile], [tile, 4, N], [tile, 4]
+        else:
+            s, t = args               # [tile], [tile, N]
+        idx = s[:, None] + jnp.arange(N, dtype=s.dtype)[None, :]
+        win = xi[:, idx]                              # [batch, tile, N]
+        if interp:
+            acc = (win[:, :, None, :] * t.astype(jnp.int32)[None]
+                   ).sum(axis=-1)                     # [batch, tile, 4]
+            return _interp_mix_jax(acc, c[None].astype(jnp.int32))
+        acc = (win * t.astype(jnp.int32)[None]).sum(axis=-1)
+        return sat32pshr15_jax(acc)
+
+    if interp:
+        ops = (starts.reshape(n_tiles, tile),
+               taps.reshape(n_tiles, tile, 4, N),
+               coef.reshape(n_tiles, tile, 4))
+    else:
+        ops = (starts.reshape(n_tiles, tile),
+               taps.reshape(n_tiles, tile, N))
+    y = lax.map(do_tile, ops)
+    return jnp.moveaxis(y, 1, 0).reshape(x.shape[0], n_out)

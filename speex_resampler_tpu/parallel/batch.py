@@ -138,6 +138,13 @@ def _dense_weight_bytes(spec: fd.FilterSpec) -> int:
     return L * group * spec.den * itemsize
 
 
+# Tests set this True to run the PRODUCTION "auto" scheme-resolution path
+# (certificate -> int8 D=3 -> D=4 -> split5) under interpret mode; the
+# default short-circuits auto to "highest" off-TPU because CPU bf16/int8
+# matmuls are emulated and slow.  Real-TPU runs ignore this flag.
+AUTO_RESOLVE_UNDER_INTERPRET = False
+
+
 def _resolve_scheme(pallas_fir, w_cert: np.ndarray, scheme: str,
                     pallas_interpret: bool):
     """Shared scheme resolution for both Pallas kernel families.
@@ -149,7 +156,7 @@ def _resolve_scheme(pallas_fir, w_cert: np.ndarray, scheme: str,
     """
     int8p = None
     if scheme == "auto":
-        if pallas_interpret:
+        if pallas_interpret and not AUTO_RESOLVE_UNDER_INTERPRET:
             return "highest", None, ()
         int8p = pallas_fir.int8_weights_auto(w_cert, _INT8_CERT_GATE)
         scheme = "int8" if int8p is not None else "split5"
@@ -226,7 +233,52 @@ def _fixed_coef(spec: fd.FilterSpec, f0: int, P: int, R: int) -> np.ndarray:
 
 
 def _launch_geometry(spec: fd.FilterSpec, target_in_frames: int,
-                     use_pallas: bool = False, f0: int = 0) -> BatchSpec:
+                     use_pallas: bool = False, f0: int = 0,
+                     max_in_frames: int | None = None) -> BatchSpec:
+    """Static launch geometry.  ``max_in_frames`` is a HARD cap on the
+    launch quantum (the engine's availability latency): kernels whose
+    minimum quantum exceeds it are skipped, falling through to the dense
+    geometry whose group factor shrinks to fit (minimum quantum = num
+    frames — one output period).  Raises INVALID_ARG when even one period
+    exceeds the cap (f0-invariant batching cannot go below num inputs)."""
+    if max_in_frames is not None:
+        if spec.num > max_in_frames:
+            # one den-outputs-per-num-inputs period is the floor of
+            # phase-invariant batching; tighter budgets need the
+            # single-stream core (ResamplerCore processes sample-by-sample)
+            raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
+        target_in_frames = min(target_in_frames, max_in_frames)
+        if _dense_weight_bytes(spec) > fm.MAX_PADDED_WEIGHT_BYTES:
+            # pathological huge-den ratio: gather geometry, floored so the
+            # quantum stays under the cap (num <= cap was checked above)
+            return BatchSpec(num=spec.num, den=spec.den,
+                             quality=spec.quality, filt_len=spec.filt_len,
+                             group=1,
+                             n_blocks=max(1, max_in_frames // spec.num),
+                             f0=f0, kernel="gather")
+        pallas_ok = False
+        if use_pallas and (_tiled_weight_bytes_estimate(spec)
+                           <= 2 * _MAX_STREAMED_WEIGHT_BYTES):
+            ptw = _tiled_weights(spec, f0)
+            from ..ops import pallas_fir
+            gp = pallas_fir._v3_periods_per_program(ptw.P)
+            pallas_ok = ptw.S * gp <= max_in_frames
+            if pallas_ok:
+                # floor-quantize so the round() in the kernel paths
+                # below can never push the quantum past the cap
+                target_in_frames = (max_in_frames // (ptw.S * gp)
+                                    ) * (ptw.S * gp)
+        if not pallas_ok:
+            # dense geometry with the group factor capped to the budget
+            group = min(fm.choose_group(spec.num, spec.den,
+                                        spec.filt_len),
+                        max(1, max_in_frames // spec.num))
+            stride = group * spec.num
+            n_blocks = max(1, max_in_frames // stride)
+            return BatchSpec(num=spec.num, den=spec.den,
+                             quality=spec.quality,
+                             filt_len=spec.filt_len, group=group,
+                             n_blocks=n_blocks, f0=f0)
     if spec.fixed_point:
         # FIXED universe: Pallas tiled kernel with the exact int8-plane
         # scheme when the planes fit VMEM residency, else the dense XLA
@@ -475,24 +527,47 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
 
     if bspec.kernel == "gather":
         # pathological huge-den ratios: weight-free per-output tap gather.
-        # Rare serving path — mesh sharding is not supported here (the
-        # fixed variant runs the exact host loops).
+        # Rare serving path — mesh sharding is not supported here.
         if mesh is not None:
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
         num, den, f0 = spec.num, spec.den, bspec.f0
         if spec.fixed_point:
-            from ..ops import fir_fixed
+            # on-device exact formulation (fm.resample_gather_fixed):
+            # per-output tap rows gathered host-side ONCE at build time,
+            # wrapping-int32 accumulation on device — bit-exact in any
+            # order, and the step stays non-blocking (the former host
+            # NumPy loop ran inside every launch)
+            tile = 2048
+            n_pad = max(-(-n_out // tile) * tile, tile)
+            k = np.arange(n_pad, dtype=np.int64)
+            t = f0 + k * num
+            starts_np = (t // den).astype(np.int32)
+            T = N - 1 + n_in
+            starts_np = np.minimum(starts_np, max(T - N, 0)).astype(
+                np.int32)
+            phases = (t % den).astype(np.int64)
+            if spec.use_direct:
+                w_fix = (jnp.asarray(spec.phase_table[phases]),
+                         jnp.asarray(starts_np))
+            else:
+                w_fix = (jnp.asarray(spec.interp_taps[phases]),
+                         jnp.asarray(starts_np),
+                         jnp.asarray(
+                             spec.interp_coef[phases].astype(np.int32)))
 
             def step(hist, x, w):
-                X = np.concatenate([to_host(hist),
-                                    to_host(x)[:n_in]], axis=0)
-                y = fir_fixed.resample_fixed(
-                    np.ascontiguousarray(X.T), 0, f0, n_out, spec)
-                return X[-(N - 1):], np.ascontiguousarray(y.T)
+                if len(w) == 3:
+                    taps, starts, coef = w
+                else:
+                    (taps, starts), coef = w, None
+                X = jnp.concatenate([hist, x[:n_in]], axis=0)
+                y = fm.resample_gather_fixed(X.T, taps, starts, coef,
+                                             tile=tile)
+                return X[n_in:], y[:, :n_out].T
 
-            return BatchedStep(fn=step, w=jnp.zeros(()), hist_rows=N - 1,
-                               chunk_rows=n_in, zero_tail=0,
-                               scheme="fixed")
+            return BatchedStep(fn=jax.jit(step), w=w_fix,
+                               hist_rows=N - 1, chunk_rows=n_in,
+                               zero_tail=0, scheme="fixed")
 
         tile = 2048
         n_pad = max(-(-n_out // tile) * tile, tile)
@@ -622,10 +697,13 @@ class BatchedResampler:
                  use_pallas: bool | None = None,
                  pallas_interpret: bool = False,
                  scheme: str = "auto",
-                 fixed_point: bool = False):
+                 fixed_point: bool = False,
+                 max_latency_ms: float | None = None):
         if n_streams <= 0 or channels <= 0:
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
         if in_rate <= 0 or out_rate <= 0:
+            raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
+        if max_latency_ms is not None and max_latency_ms <= 0:
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
         self.n_streams = n_streams
         self.channels = channels
@@ -639,6 +717,11 @@ class BatchedResampler:
             use_pallas = jax.default_backend() == "tpu"
         self.B = n_streams * channels
         self._target = target_chunk_frames
+        # hard latency budget: the launch quantum IS the availability
+        # latency; a low-latency engine (e.g. the voip preset's 20 ms)
+        # caps the quantum, trading MXU efficiency for responsiveness
+        self._max_in = (None if max_latency_ms is None
+                        else int(max_latency_ms * in_rate / 1000))
         self._use_pallas = use_pallas
         self._interpret = pallas_interpret
         self._scheme = scheme
@@ -688,7 +771,8 @@ class BatchedResampler:
         cached = self._step_cache.get(f0)
         if cached is None:
             bspec = _launch_geometry(self.spec, self._target,
-                                     use_pallas=self._use_pallas, f0=f0)
+                                     use_pallas=self._use_pallas, f0=f0,
+                                     max_in_frames=self._max_in)
             step = make_batched_step(self.spec, bspec,
                                      use_pallas=self._use_pallas,
                                      pallas_interpret=self._interpret,
@@ -719,6 +803,13 @@ class BatchedResampler:
     @property
     def out_frames_per_launch(self) -> int:
         return self.bspec.out_per_launch
+
+    @property
+    def launch_latency_ms(self) -> float:
+        """Availability latency of the batch quantum: audio staged before
+        a launch can run (the streaming Transform analog delivers output
+        after at most this much input, src/index.ts:121-162)."""
+        return self.bspec.in_per_launch / self.in_rate * 1000.0
 
     def input_latency(self) -> int:
         return self.spec.input_latency

@@ -40,7 +40,8 @@ class FleetResampler:
                  target_chunk_frames: int = 4096,
                  use_pallas: bool | None = None,
                  pallas_interpret: bool = False,
-                 fixed_point: bool = False):
+                 fixed_point: bool = False,
+                 max_latency_ms: float | None = None):
         if n_streams <= 0 or channels <= 0 or in_rate <= 0 or out_rate <= 0:
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
         self.n_streams = n_streams
@@ -55,8 +56,11 @@ class FleetResampler:
                                      fixed_point=fixed_point)
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
+        max_in = (None if max_latency_ms is None
+                  else int(max_latency_ms * in_rate / 1000))
         self.bspec = _launch_geometry(self.spec, target_chunk_frames,
-                                      use_pallas=use_pallas)
+                                      use_pallas=use_pallas,
+                                      max_in_frames=max_in)
         self._step = make_batched_step(
             self.spec, self.bspec, use_pallas=use_pallas,
             pallas_interpret=pallas_interpret)
@@ -307,6 +311,12 @@ class FleetResampler:
                      for outs in state["banked"]]
 
     # -- egress -----------------------------------------------------------
+
+    @property
+    def launch_latency_ms(self) -> float:
+        """Availability latency of the lockstep quantum (audio a stream
+        must stage before its next launch can run)."""
+        return self.bspec.in_per_launch / self.in_rate * 1000.0
 
     def pending(self, stream: int) -> int:
         return sum(o.shape[0] for o in self._out[stream])

@@ -446,3 +446,49 @@ def test_fixed_pallas_mesh_sharded_interpret():
                                  pallas_interpret=True)
     _, y_ref = ref_step.fn(jnp.asarray(h_np), jnp.asarray(x_np), ref_step.w)
     assert np.array_equal(np.asarray(y), np.asarray(y_ref))
+
+
+def test_fixed_pallas_streamed_mesh_sharded_interpret(monkeypatch):
+    """Fixed v4 streamed kernel (4-accumulator interpolated path) under
+    shard_map on an 8-device virtual mesh: sharded == unsharded, bit-equal.
+    Closes the round-2 gap: no test combined kernel=="streamed" with
+    mesh= in the fixed universe.
+
+    The natural fixed streamed config (48k->44.1k q10, P=147) costs ~16
+    min under 8-way interpret emulation (measured), so the flagship
+    (P=20, interpolated => n_accum=4) is FORCED onto v4 by zeroing the
+    fixed tiled-residency threshold — identical kernel + mesh plumbing."""
+    from speex_resampler_tpu.parallel.batch import (_launch_geometry,
+                                                    make_batched_step)
+    import speex_resampler_tpu.parallel.batch as batch_mod
+    monkeypatch.setattr(batch_mod, "_MAX_FIXED_TILED_WEIGHT_BYTES", 0)
+    import jax
+    import jax.numpy as jnp
+    devs = jax.devices("cpu")[:8]
+    mesh = jax.sharding.Mesh(np.array(devs), ("streams",))
+    P = jax.sharding.PartitionSpec
+    lane = jax.sharding.NamedSharding(mesh, P(None, "streams"))
+    repl = jax.sharding.NamedSharding(mesh, P())
+    rng = np.random.default_rng(8)
+    spec = _spec(44100, 48000, 7)
+    assert not spec.use_direct  # 4-accumulator interpolated path
+    bspec = _launch_geometry(spec, 400, use_pallas=True)
+    assert bspec.kernel == "streamed"
+    step = make_batched_step(spec, bspec, use_pallas=True,
+                             pallas_interpret=True, mesh=mesh)
+    assert step.scheme == "fixed"
+    B = 16
+    x_np = np.zeros((step.chunk_rows, B), dtype=np.int16)
+    x_np[:bspec.in_per_launch] = rng.integers(
+        -32768, 32768, (bspec.in_per_launch, B)).astype(np.int16)
+    h_np = rng.integers(-32768, 32768,
+                        (step.hist_rows, B)).astype(np.int16)
+    w = jax.device_put(step.w, repl)
+    _, y = step.fn(jax.device_put(jnp.asarray(h_np), lane),
+                   jax.device_put(jnp.asarray(x_np), lane), w)
+    assert len(y.sharding.device_set) == 8
+
+    ref_step = make_batched_step(spec, bspec, use_pallas=True,
+                                 pallas_interpret=True)
+    _, y_ref = ref_step.fn(jnp.asarray(h_np), jnp.asarray(x_np), ref_step.w)
+    assert np.array_equal(np.asarray(y), np.asarray(y_ref))

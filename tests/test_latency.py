@@ -1,0 +1,105 @@
+"""Sub-quantum latency control (the voip preset's 20 ms budget).
+
+The batch engine's launch quantum is also its availability latency: a
+stream must stage in_per_launch frames before output appears (the
+streaming role of src/index.ts:121-162).  ``max_latency_ms`` makes the
+budget HARD: geometry falls back from the throughput-optimal tiled kernel
+(min quantum S*gp frames, ~53 ms at the flagship ratio) to a dense
+geometry with a capped group factor (min quantum = num frames, 3.3 ms at
+44.1k->48k) when needed.  Outputs are chunking-invariant, so the
+low-latency engine is bit-identical to the default one — only WHEN output
+becomes available changes.
+"""
+
+import numpy as np
+import pytest
+
+from speex_resampler_tpu.models.presets import get_preset
+from speex_resampler_tpu.parallel.batch import BatchedResampler
+from speex_resampler_tpu.runtime.fleet import FleetResampler
+from speex_resampler_tpu.utils.errors import ResamplerError
+
+
+def _random_frames(S, n, C, seed=0):
+    rng = np.random.default_rng(seed)
+    return (rng.integers(-32768, 32768, size=(S, n, C)) // 2).astype(
+        np.int16)
+
+
+def test_voip_preset_quantum_under_budget():
+    """The voip preset's engine kwargs produce a <= 20 ms launch quantum
+    for the common rate pairs (the default tiled geometry would round the
+    flagship up to ~53 ms)."""
+    p = get_preset("voip")
+    for ir, orr in [(44100, 48000), (48000, 44100), (24000, 48000),
+                    (16000, 8000), (8000, 48000)]:
+        eng = BatchedResampler(2, 1, ir, orr, use_pallas=False,
+                               **p.engine_kwargs(ir))
+        assert eng.launch_latency_ms <= 20.0 + 1e-9, (
+            ir, orr, eng.launch_latency_ms)
+        # the quantum stays a whole number of num-periods (f0-invariant)
+        assert eng.in_frames_per_launch % eng.spec.num == 0
+
+
+def test_low_latency_output_identical_to_default():
+    """Chunking invariance: the 20 ms engine produces bit-identical
+    output to the default (53 ms quantum) engine — only availability
+    latency changes."""
+    S, C = 2, 2
+    frames = _random_frames(S, 12000, C, seed=3)
+    fast = BatchedResampler(S, C, 44100, 48000, 7, use_pallas=False,
+                            max_latency_ms=20.0)
+    slow = BatchedResampler(S, C, 44100, 48000, 7, use_pallas=False)
+    assert fast.launch_latency_ms <= 20.0
+    assert slow.launch_latency_ms > 20.0  # the default rounds up
+    a = np.concatenate([fast.process(frames), fast.flush()], axis=1)
+    b = np.concatenate([slow.process(frames), slow.flush()], axis=1)
+    assert np.array_equal(a, b)
+
+
+def test_low_latency_availability():
+    """Feeding exactly one 20 ms quantum must produce output immediately
+    (the default engine would still be staging)."""
+    S, C = 1, 1
+    fast = BatchedResampler(S, C, 44100, 48000, 7, use_pallas=False,
+                            max_latency_ms=20.0)
+    q = fast.in_frames_per_launch
+    assert q <= 882  # 20 ms at 44.1k
+    y = fast.process(_random_frames(S, q, C, seed=5))
+    assert y.shape[1] == fast.out_frames_per_launch > 0
+
+
+def test_loose_budget_keeps_pallas_kernel():
+    """A budget looser than the tiled kernel's natural quantum must keep
+    the throughput-optimal kernel (floor-quantized under the cap), not
+    fall to dense."""
+    eng = BatchedResampler(2, 1, 44100, 48000, 7, use_pallas=True,
+                           pallas_interpret=True, max_latency_ms=100.0)
+    assert eng.bspec.kernel == "tiled"
+    assert eng.launch_latency_ms <= 100.0
+
+
+def test_infeasible_budget_raises():
+    """Ratios whose single num-period exceeds the budget (44100->44101:
+    num = 44100 frames = 1 s) cannot be served by f0-invariant batching;
+    the engine must refuse rather than silently violate the budget (the
+    single-stream ResamplerCore covers true sample-level latency)."""
+    with pytest.raises(ResamplerError):
+        BatchedResampler(2, 1, 44100, 44101, 1, use_pallas=False,
+                         max_latency_ms=20.0)
+
+
+def test_fleet_low_latency():
+    """FleetResampler honors the hard budget: a stream that stages 20 ms
+    of audio gets output on the next poll."""
+    S, C = 3, 2
+    fleet = FleetResampler(S, C, 44100, 48000, 7, use_pallas=False,
+                           max_latency_ms=20.0)
+    assert fleet.launch_latency_ms <= 20.0
+    q = fleet.bspec.in_per_launch
+    frames = _random_frames(S, q, C, seed=11)
+    for s in range(S):
+        fleet.push(s, frames[s])
+    assert fleet.poll() == 1
+    for s in range(S):
+        assert fleet.pending(s) == fleet.bspec.out_per_launch
