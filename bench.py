@@ -38,6 +38,17 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+# Persistent compilation cache: the shard_map check alone costs ~10 min of
+# fresh compiles through the tunnel; cached reruns skip nearly all of it.
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     str(Path(__file__).parent / "build"
+                                         / "jax_cache")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 from speex_resampler_tpu.ops import filter_design as fd
 from speex_resampler_tpu.parallel.batch import (_launch_geometry,
                                                 make_batched_step,
@@ -323,24 +334,14 @@ def main():
     shardmap_res = (shardmap_onchip_check() if use_pallas
                     else {"skipped": "no TPU backend"})
 
-    sweep = {}
-    for (ir, orate, q) in SWEEP:
-        if _time_left() < 240:
-            sweep[f"{ir}->{orate} q{q}"] = {"skipped": "time budget"}
-            continue
-        _note(f"sweep {ir}->{orate} q{q}")
-        m = measure_config(ir, orate, q, use_pallas=use_pallas)
-        ref = oracle_cpu_baseline(ir, orate, q)
-        sweep[f"{ir}->{orate} q{q}"] = {
-            k: m[k] for k in ("kernel", "scheme", "launch_ms",
-                              "launch_ms_best", "launch_ms_spread",
-                              "out_samples_per_sec",
-                              "out_samples_per_sec_best",
-                              "in_samples_per_sec")
-        } | {"vs_reference_cpu": (
-            round(m["out_samples_per_sec"]
-                  / ref["out_samples_per_sec"], 1)
-            if "out_samples_per_sec" in ref else None)}
+    # host-path + fixed e2e BEFORE the sweep: driver-visible host numbers
+    # outrank a third sweep row if the budget squeezes
+    _note("fleet e2e")
+    fleet_res = (fleet_e2e() if _time_left() > 180
+                 else {"skipped": "time budget"})
+    _note("fleet e2e fixed")
+    fleet_fixed_res = (fleet_e2e(fixed_point=True) if _time_left() > 150
+                       else {"skipped": "time budget"})
 
     # FIXED_POINT universe (bit-exact Q15, scheme "fixed": exact int8-plane
     # MXU passes) — the flagship and the fastest direct-path family
@@ -354,6 +355,25 @@ def main():
                            fixed_point=True)
         ref = oracle_cpu_baseline(ir, orate, q, fixed_point=True)
         fixed[f"{ir}->{orate} q{q}"] = {
+            k: m[k] for k in ("kernel", "scheme", "launch_ms",
+                              "launch_ms_best", "launch_ms_spread",
+                              "out_samples_per_sec",
+                              "out_samples_per_sec_best",
+                              "in_samples_per_sec")
+        } | {"vs_reference_cpu": (
+            round(m["out_samples_per_sec"]
+                  / ref["out_samples_per_sec"], 1)
+            if "out_samples_per_sec" in ref else None)}
+
+    sweep = {}
+    for (ir, orate, q) in SWEEP:
+        if _time_left() < 240:
+            sweep[f"{ir}->{orate} q{q}"] = {"skipped": "time budget"}
+            continue
+        _note(f"sweep {ir}->{orate} q{q}")
+        m = measure_config(ir, orate, q, use_pallas=use_pallas)
+        ref = oracle_cpu_baseline(ir, orate, q)
+        sweep[f"{ir}->{orate} q{q}"] = {
             k: m[k] for k in ("kernel", "scheme", "launch_ms",
                               "launch_ms_best", "launch_ms_spread",
                               "out_samples_per_sec",
@@ -410,11 +430,8 @@ def main():
             "sweep": sweep,
             "fixed_point_universe": fixed,
             "stager": stager_bench(),
-            "fleet_e2e": (fleet_e2e() if _time_left() > 180
-                          else {"skipped": "time budget"}),
-            "fleet_e2e_fixed": (fleet_e2e(fixed_point=True)
-                                if _time_left() > 150
-                                else {"skipped": "time budget"}),
+            "fleet_e2e": fleet_res,
+            "fleet_e2e_fixed": fleet_fixed_res,
             "on_chip_shardmap": shardmap_res,
         },
     }

@@ -164,10 +164,12 @@ class MultiFleet:
                  target_chunk_frames: int = 4096,
                  use_pallas: bool | None = None,
                  pallas_interpret: bool = False,
-                 fixed_point: bool = False):
+                 fixed_point: bool = False,
+                 max_latency_ms: float | None = None):
         self.channels = channels
         self.capacity = capacity_per_bucket
         self._target = target_chunk_frames
+        self._max_latency_ms = max_latency_ms
         self._use_pallas = use_pallas
         self._interpret = pallas_interpret
         self.fixed_point = bool(fixed_point)
@@ -187,7 +189,8 @@ class MultiFleet:
                 target_chunk_frames=self._target,
                 use_pallas=self._use_pallas,
                 pallas_interpret=self._interpret,
-                fixed_point=self.fixed_point))
+                fixed_point=self.fixed_point,
+                max_latency_ms=self._max_latency_ms))
             self._buckets[key] = b
         if not b.free:
             raise ResamplerError(ResamplerErrorCode.ALLOC_FAILED)
@@ -284,7 +287,8 @@ class MultiFleet:
                 target_chunk_frames=self._target,
                 use_pallas=self._use_pallas,
                 pallas_interpret=self._interpret,
-                fixed_point=self.fixed_point))
+                fixed_point=self.fixed_point,
+                max_latency_ms=self._max_latency_ms))
             self._buckets[new_key] = b_new
         frees_own = (new_key == st.key and st.slot is not None)
         if not b_new.free and not frees_own:
@@ -435,6 +439,16 @@ class MultiFleet:
         return {str(k): b.fleet.stats.as_dict()
                 for k, b in self._buckets.items()}
 
+    @property
+    def degraded(self) -> bool:
+        """True if ANY bucket's fleet has degraded to the zero-output
+        path (see FleetResampler.degraded); per-bucket detail is in
+        degraded_buckets()."""
+        return any(b.fleet.degraded for b in self._buckets.values())
+
+    def degraded_buckets(self) -> dict:
+        return {str(k): b.fleet.degraded for k, b in self._buckets.items()}
+
     # -- checkpoint/resume (SURVEY.md §5: the state IS a checkpoint) ---------
 
     def state_dict(self) -> dict:
@@ -475,7 +489,8 @@ class MultiFleet:
                 target_chunk_frames=self._target,
                 use_pallas=self._use_pallas,
                 pallas_interpret=self._interpret,
-                fixed_point=self.fixed_point))
+                fixed_point=self.fixed_point,
+                max_latency_ms=self._max_latency_ms))
             # load AFTER _Bucket's blanket deactivation: it restores the
             # true per-slot occupancy along with histories and staging
             b.fleet.load_state_dict(bs["fleet"])

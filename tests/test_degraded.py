@@ -203,3 +203,30 @@ def test_fleet_degrades_mid_serving(fail_mode):
     f2.poll()
     f2.flush()
     assert not f2.pull(0).any()
+
+
+def test_multifleet_degraded_surface():
+    """MultiFleet surfaces per-bucket degradation; a poisoned bucket keeps
+    draining exact zero counts while healthy buckets stay bit-correct."""
+    from speex_resampler_tpu.runtime.multifleet import MultiFleet
+    mf = MultiFleet(1, capacity_per_bucket=4, target_chunk_frames=1024,
+                    use_pallas=False)
+    mf.add_stream("a", 44100, 48000, 7)
+    mf.add_stream("b", 24000, 48000, 5)
+    frames = _random_frames(1, 4000, 1, seed=33)[0]
+    mf.push("a", frames)
+    mf.push("b", frames)
+    mf.poll()
+    assert not mf.degraded
+
+    # poison only the 44.1k bucket's fleet
+    for key, bucket in mf._buckets.items():
+        if 44100 in key if isinstance(key, tuple) else "44100" in str(key):
+            _poison_dispatch(bucket.fleet)
+    mf.push("a", frames)
+    mf.push("b", frames)
+    mf.poll()
+    assert mf.degraded
+    assert any(mf.degraded_buckets().values())
+    # the healthy bucket still produces real (nonzero) output
+    assert mf.pull("b").any()

@@ -103,3 +103,14 @@ def test_fleet_low_latency():
     assert fleet.poll() == 1
     for s in range(S):
         assert fleet.pending(s) == fleet.bspec.out_per_launch
+
+
+def test_multifleet_low_latency():
+    """MultiFleet forwards the hard budget to every bucket's fleet."""
+    from speex_resampler_tpu.runtime.multifleet import MultiFleet
+    mf = MultiFleet(1, capacity_per_bucket=4, use_pallas=False,
+                    max_latency_ms=20.0)
+    mf.add_stream("a", 44100, 48000, 7)
+    mf.add_stream("b", 24000, 48000, 5)
+    for b in mf._buckets.values():
+        assert b.fleet.launch_latency_ms <= 20.0
