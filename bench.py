@@ -386,20 +386,28 @@ def main():
 
     ref_flag = oracle_cpu_baseline(*FLAGSHIP)
 
-    # end-to-end through the public engine (host staging + transfers)
-    _note("e2e")
-    eng = BatchedResampler(N_STREAMS, CHANNELS, *FLAGSHIP[:2],
-                           FLAGSHIP[2],
-                           target_chunk_frames=flag["in_frames_per_launch"])
-    chunk_np = flag["x_np"][:flag["in_frames_per_launch"]]
-    eng.process(chunk_np)  # warmup/compile
-    t0 = time.perf_counter()
-    e2e_iters = 5
-    produced = 0
-    for _ in range(e2e_iters):
-        out = eng.process(chunk_np)
-        produced += out.size
-    e2e_sps = produced / (time.perf_counter() - t0)
+    # end-to-end through the public engine (host staging + transfers);
+    # budget-gated and iteration-adaptive — tunnel contention can stretch
+    # one 21M-sample round-trip arbitrarily
+    e2e_sps = None
+    if _time_left() > 60:
+        _note("e2e")
+        try:
+            eng = BatchedResampler(
+                N_STREAMS, CHANNELS, *FLAGSHIP[:2], FLAGSHIP[2],
+                target_chunk_frames=flag["in_frames_per_launch"])
+            chunk_np = flag["x_np"][:flag["in_frames_per_launch"]]
+            eng.process(chunk_np)  # warmup/compile
+            t0 = time.perf_counter()
+            produced = 0
+            for _ in range(5):
+                out = eng.process(chunk_np)
+                produced += out.size
+                if _time_left() < 30:
+                    break
+            e2e_sps = round(produced / (time.perf_counter() - t0))
+        except Exception as exc:
+            e2e_sps = repr(exc)
 
     result = {
         "metric": "output samples/sec, batched q7 44.1k->48k stereo "
@@ -423,7 +431,7 @@ def main():
                 if "out_samples_per_sec" in ref_flag else None),
             "reference_cpu_out_samples_per_sec": ref_flag.get(
                 "out_samples_per_sec"),
-            "e2e_samples_per_sec_via_tunnel": round(e2e_sps),
+            "e2e_samples_per_sec_via_tunnel": e2e_sps,
             "streams": N_STREAMS, "channels": CHANNELS,
             "in_frames_per_launch": flag["in_frames_per_launch"],
             "out_frames_per_launch": flag["out_frames_per_launch"],
@@ -439,4 +447,12 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except Exception as exc:  # emit SOMETHING the driver can record
+        import traceback
+        traceback.print_exc()
+        print(json.dumps({
+            "metric": "bench failed", "value": 0, "unit": "samples/sec",
+            "vs_baseline": 0.0, "extra": {"error": repr(exc)}}))
+        sys.exit(0)
