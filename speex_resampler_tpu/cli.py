@@ -44,7 +44,25 @@ def main(argv=None):
     ip = sub.add_parser("info", help="print filter design for a config")
     _add_common(ip)
 
+    pp = sub.add_parser("presets",
+                        help="list operating-point presets for a rate pair")
+    pp.add_argument("--in-rate", "-i", type=int, default=44100)
+    pp.add_argument("--out-rate", "-o", type=int, default=48000)
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "presets":
+        from .models.presets import PRESETS, describe
+        for name in PRESETS:
+            d = describe(name, args.in_rate, args.out_rate)
+            hard = " (HARD cap)" if d["hard_latency"] else ""
+            print(f"{name:10s} q{d['quality']:<2d} "
+                  f"launch {d['launch_ms']:6.1f} ms{hard}  "
+                  f"taps {d['filter_taps']:<4d} {d['path']:<12s} "
+                  f"latency in/out {d['input_latency_ms']:.1f}/"
+                  f"{d['output_latency_ms']:.1f} ms  — "
+                  f"{PRESETS[name].description}")
+        return 0
 
     if args.cmd == "info":
         from .ops import filter_design as fd

@@ -82,5 +82,6 @@ def describe(name: str, in_rate: int, out_rate: int) -> dict:
         "input_latency_ms": spec.input_latency / in_rate * 1000,
         "output_latency_ms": spec.output_latency / out_rate * 1000,
         "launch_ms": p.target_chunk_ms,
+        "hard_latency": p.hard_latency,
         "target_chunk_frames": p.target_chunk_frames(in_rate),
     }

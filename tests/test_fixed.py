@@ -492,3 +492,29 @@ def test_fixed_pallas_streamed_mesh_sharded_interpret(monkeypatch):
                                  pallas_interpret=True)
     _, y_ref = ref_step.fn(jnp.asarray(h_np), jnp.asarray(x_np), ref_step.w)
     assert np.array_equal(np.asarray(y), np.asarray(y_ref))
+
+
+def test_resample_gather_fixed_direct_branch():
+    """The on-device fixed gather kernel's DIRECT-table branch (reachable
+    via full_sinc_table + huge-den configs): wrapping-int32 accumulation +
+    SATURATE32PSHR epilogue, bit-identical to the host Q15 algebra."""
+    import jax.numpy as jnp
+    from speex_resampler_tpu.ops import fir_matmul as fm
+    from speex_resampler_tpu.ops.fixed_math import (saturate32pshr,
+                                                    to_word16, I32)
+    rng = np.random.default_rng(17)
+    N, tile, B, T = 16, 2048, 3, 4096
+    taps = rng.integers(-32000, 32000, size=(tile, N)).astype(np.int16)
+    starts = rng.integers(0, T - N, size=tile).astype(np.int32)
+    X = rng.integers(-32768, 32768, size=(B, T)).astype(np.int16)
+
+    got = np.asarray(fm.resample_gather_fixed(
+        jnp.asarray(X), jnp.asarray(taps), jnp.asarray(starts), None,
+        tile=tile))
+
+    idx = starts[:, None].astype(np.int64) + np.arange(N)[None, :]
+    win = X[:, idx].astype(I32)
+    with np.errstate(over="ignore"):
+        acc = (win * taps[None].astype(I32)).sum(axis=-1, dtype=I32)
+    ref = to_word16(saturate32pshr(acc, 15, 32767))
+    assert np.array_equal(got, ref)
