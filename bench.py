@@ -283,8 +283,12 @@ def shardmap_onchip_check():
         ("streamed_fixed_48k_44k_q10", (48000, 44100, 10), True, 4096),
     ]
     rng = np.random.default_rng(7)
+    sec_t0 = time.monotonic()
     for name, (ir, orr, q), fixed, target in cases:
-        if _time_left() < 120:
+        # section sub-cap: on a contended chip one case can cost ~6 min of
+        # compiles; stop opening new cases once the section has spent half
+        # the run budget so the fixed/sweep/stager sections still land
+        if _time_left() < 120 or time.monotonic() - sec_t0 > 0.5 * _BUDGET_S:
             results[name] = {"skipped": "time budget"}
             continue
         _note(f"shardmap case {name}")
