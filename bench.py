@@ -148,7 +148,12 @@ def measure_config(in_rate, out_rate, quality, *, use_pallas,
         if len(slopes) >= 2 and _time_left() < 0.6 * _BUDGET_S:
             break
     slopes = sorted(slopes)
-    per_launch = slopes[len(slopes) // 2]
+    # true median: with an even count (e.g. the 2-sample budget bail),
+    # average the middle two — picking slopes[n//2] would report the
+    # WORSE of two samples, the exact contention bias this design avoids
+    mid = len(slopes) // 2
+    per_launch = (slopes[mid] if len(slopes) % 2
+                  else (slopes[mid - 1] + slopes[mid]) / 2)
     best = slopes[0]
     spread = (slopes[-1] - slopes[0]) / per_launch if per_launch else 0.0
     return {
@@ -325,9 +330,12 @@ def shardmap_onchip_check():
                              "lanes": B}
         except Exception as e:
             results[name] = {"error": repr(e)}
-    results["all_equal"] = all(v.get("equal") is True
-                               for k, v in results.items()
-                               if k != "all_equal")
+    # aggregate over EXECUTED cases only: a time-budget skip must not
+    # masquerade as a bit-parity failure (null when nothing executed)
+    executed = [v for k, v in results.items()
+                if isinstance(v, dict) and "skipped" not in v]
+    results["all_equal"] = (all(v.get("equal") is True for v in executed)
+                            if executed else None)
     results["cases_skipped"] = sum(1 for v in results.values()
                                    if isinstance(v, dict)
                                    and "skipped" in v)

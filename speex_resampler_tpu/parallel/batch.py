@@ -44,6 +44,7 @@ import jax.numpy as jnp
 from ..ops import filter_design as fd
 from ..ops import phase as ph
 from ..ops import fir_matmul as fm
+from ..utils.degrade import ZeroFillDegradation
 from ..utils.errors import ResamplerError, ResamplerErrorCode
 from ..utils.host import to_host
 
@@ -236,49 +237,52 @@ def _launch_geometry(spec: fd.FilterSpec, target_in_frames: int,
                      use_pallas: bool = False, f0: int = 0,
                      max_in_frames: int | None = None) -> BatchSpec:
     """Static launch geometry.  ``max_in_frames`` is a HARD cap on the
-    launch quantum (the engine's availability latency): kernels whose
-    minimum quantum exceeds it are skipped, falling through to the dense
-    geometry whose group factor shrinks to fit (minimum quantum = num
-    frames — one output period).  Raises INVALID_ARG when even one period
-    exceeds the cap (f0-invariant batching cannot go below num inputs)."""
-    if max_in_frames is not None:
-        if spec.num > max_in_frames:
-            # one den-outputs-per-num-inputs period is the floor of
-            # phase-invariant batching; tighter budgets need the
-            # single-stream core (ResamplerCore processes sample-by-sample)
-            raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
-        target_in_frames = min(target_in_frames, max_in_frames)
-        if _dense_weight_bytes(spec) > fm.MAX_PADDED_WEIGHT_BYTES:
-            # pathological huge-den ratio: gather geometry, floored so the
-            # quantum stays under the cap (num <= cap was checked above)
-            return BatchSpec(num=spec.num, den=spec.den,
-                             quality=spec.quality, filt_len=spec.filt_len,
-                             group=1,
-                             n_blocks=max(1, max_in_frames // spec.num),
-                             f0=f0, kernel="gather")
-        pallas_ok = False
-        if use_pallas and (_tiled_weight_bytes_estimate(spec)
-                           <= 2 * _MAX_STREAMED_WEIGHT_BYTES):
-            ptw = _tiled_weights(spec, f0)
-            from ..ops import pallas_fir
-            gp = pallas_fir._v3_periods_per_program(ptw.P)
-            pallas_ok = ptw.S * gp <= max_in_frames
-            if pallas_ok:
-                # floor-quantize so the round() in the kernel paths
-                # below can never push the quantum past the cap
-                target_in_frames = (max_in_frames // (ptw.S * gp)
-                                    ) * (ptw.S * gp)
-        if not pallas_ok:
-            # dense geometry with the group factor capped to the budget
-            group = min(fm.choose_group(spec.num, spec.den,
-                                        spec.filt_len),
-                        max(1, max_in_frames // spec.num))
-            stride = group * spec.num
-            n_blocks = max(1, max_in_frames // stride)
-            return BatchSpec(num=spec.num, den=spec.den,
-                             quality=spec.quality,
-                             filt_len=spec.filt_len, group=group,
-                             n_blocks=n_blocks, f0=f0)
+    launch quantum (the engine's availability latency).
+
+    The cap wraps the normal kernel selection rather than duplicating it:
+    the chosen geometry is checked against the cap and, if its rounding
+    overflowed, re-quantized within the SAME kernel family (floor to the
+    family's minimum quantum) or dropped to a dense geometry whose group
+    factor shrinks to fit (minimum quantum = num frames — one output
+    period).  A permissive cap never changes the uncapped geometry.
+    Raises INVALID_ARG when even one period exceeds the cap (f0-invariant
+    batching cannot go below num inputs)."""
+    if max_in_frames is None:
+        return _launch_geometry_impl(spec, target_in_frames, use_pallas,
+                                     f0)
+    if spec.num > max_in_frames:
+        # one den-outputs-per-num-inputs period is the floor of
+        # phase-invariant batching; tighter budgets need the
+        # single-stream core (ResamplerCore processes sample-by-sample)
+        raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
+    bspec = _launch_geometry_impl(
+        spec, min(target_in_frames, max_in_frames), use_pallas, f0)
+    if bspec.in_per_launch <= max_in_frames:
+        return bspec
+    # rounding pushed past the cap: floor-quantize in the same family
+    if bspec.kernel in ("tiled", "streamed"):
+        from ..ops import pallas_fir
+        unit = bspec.S * (pallas_fir._v3_periods_per_program(bspec.P)
+                          if bspec.kernel == "tiled" else 1)
+        if unit <= max_in_frames:
+            b2 = _launch_geometry_impl(
+                spec, (max_in_frames // unit) * unit, use_pallas, f0)
+            if b2.in_per_launch <= max_in_frames:
+                return b2
+    if bspec.kernel == "gather":
+        return dataclasses.replace(
+            bspec, n_blocks=max(1, max_in_frames // spec.num))
+    # dense geometry with the group factor capped to the budget
+    group = min(fm.choose_group(spec.num, spec.den, spec.filt_len),
+                max(1, max_in_frames // spec.num))
+    stride = group * spec.num
+    return BatchSpec(num=spec.num, den=spec.den, quality=spec.quality,
+                     filt_len=spec.filt_len, group=group,
+                     n_blocks=max(1, max_in_frames // stride), f0=f0)
+
+
+def _launch_geometry_impl(spec: fd.FilterSpec, target_in_frames: int,
+                          use_pallas: bool, f0: int) -> BatchSpec:
     if spec.fixed_point:
         # FIXED universe: Pallas tiled kernel with the exact int8-plane
         # scheme when the planes fit VMEM residency, else the dense XLA
@@ -661,7 +665,7 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
                        hist_rows=N - 1, chunk_rows=n_in, zero_tail=0)
 
 
-class BatchedResampler:
+class BatchedResampler(ZeroFillDegradation):
     """Resample S identical-config streams (C channels each) in lockstep.
 
     All lanes share (in_rate, out_rate, quality) — heterogeneous fleets are
@@ -837,7 +841,7 @@ class BatchedResampler:
                                                       dtype=np.int16)
         num, den = self.spec.num, self.spec.den
         m = ph.producible_outputs(s, 0, self._f0, num, den)
-        hist_host = to_host(self._hist)
+        hist_host = self._hist_host()
         chunk = np.zeros((q, self.B), dtype=np.int16)
         chunk[:s] = staged
         _, y = self._launch(chunk)
@@ -896,7 +900,7 @@ class BatchedResampler:
             "quality": self.spec.quality,
             "fixed_point": self.fixed_point,
             "n_streams": self.n_streams, "channels": self.channels,
-            "hist": to_host(self._hist),
+            "hist": self._hist_host(),
             "staged": self._staged.copy(),
             "skip": self._skip,
             "f0": self._f0,
@@ -983,50 +987,12 @@ class BatchedResampler:
             return np.zeros((self.n_streams, 0, self.channels), np.int16)
         return self._lanes_to_frames(np.concatenate(outs, axis=0))
 
-    # -- zero-fill degradation (resample.c:561-591 analog) ----------------
-
-    @property
-    def degraded(self) -> bool:
-        """True once a device failure swapped in the zero-output step."""
-        return self._degraded
-
-    def _enter_degraded(self) -> None:
-        """Swap onto the host zero-output step (the fn-ptr swap of
-        resample.c:785-791).  Sticky: like the C core, reset_mem does not
-        reinstall the real resampler.  The filter history is salvaged if
-        the device can still be read, else zeroed — degraded output is
-        all-zero either way, so accounting (the only remaining contract)
-        is unaffected."""
-        if self._degraded:
-            return
-        self._degraded = True
-        try:
-            h = to_host(self._hist)
-        except Exception:
-            h = np.zeros((self._step.hist_rows, self.B), dtype=np.int16)
-        self._hist = np.array(h, dtype=np.int16)
+    # -- zero-fill degradation: shared machinery in utils/degrade.py ------
 
     def _degraded_launch(self, chunk_np: np.ndarray):
-        """Host zero-output launch with exact sample accounting: consumes
-        q rows, emits n_out zero rows, advances history identically to the
-        healthy step (resampler_basic_zero advances state while writing
-        zeros, resample.c:561-591)."""
-        q = self.bspec.in_per_launch
-        H = self._step.hist_rows
-        hist = np.concatenate([self._hist, chunk_np[:q]], axis=0)[-H:]
-        y = np.zeros((self.bspec.out_per_launch, self.B), dtype=np.int16)
-        return hist, y
-
-    def _recv(self, y) -> np.ndarray:
-        """Blocking readback of a dispatched launch result; an async
-        device failure surfacing here degrades the engine and substitutes
-        the exact count of zero samples."""
-        try:
-            return to_host(y)
-        except Exception:
-            self._enter_degraded()
-            return np.zeros((self.bspec.out_per_launch, self.B),
-                            dtype=np.int16)
+        """Host zero-output launch with exact sample accounting
+        (resampler_basic_zero, resample.c:561-591)."""
+        return self._advance_degraded_hist(chunk_np), self._zero_result()
 
     def _launch(self, chunk_np: np.ndarray):
         """Async-dispatch one launch; the result is NOT yet ready — readers

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from ..ops import filter_design as fd
 from ..ops import phase as ph
 from ..parallel.batch import BatchSpec, _launch_geometry, make_batched_step
+from ..utils.degrade import ZeroFillDegradation
 from ..utils.errors import ResamplerError, ResamplerErrorCode
 from ..utils.host import to_host
 from .native import make_stager
@@ -32,7 +33,7 @@ from ..utils.profiling import LaunchStats
 __all__ = ["FleetResampler"]
 
 
-class FleetResampler:
+class FleetResampler(ZeroFillDegradation):
     """S homogeneous streams (same rates/quality), independent cadence."""
 
     def __init__(self, n_streams: int, channels: int, in_rate: int,
@@ -135,45 +136,13 @@ class FleetResampler:
                       for f in staged]
         self._bank(y, per_stream)
 
-    # -- zero-fill degradation (resample.c:561-591 analog) ----------------
-
-    @property
-    def degraded(self) -> bool:
-        """True once a device failure swapped in the zero-output path."""
-        return self._degraded
-
-    def _enter_degraded(self) -> None:
-        """Swap onto a host zero-output dispatch (the resample.c:785-791
-        fn-ptr swap).  Sticky.  History is salvaged if the device is still
-        readable, else zeroed — output is all-zero either way, so only
-        sample accounting (preserved exactly) remains observable."""
-        if self._degraded:
-            return
-        self._degraded = True
-        try:
-            h = to_host(self._hist)
-        except Exception:
-            h = np.zeros((self._step.hist_rows, self.B), dtype=np.int16)
-        self._hist = np.array(h, dtype=np.int16)
+    # -- zero-fill degradation: shared machinery in utils/degrade.py ------
 
     def _degraded_dispatch(self, slab: np.ndarray):
         """Zero-output launch: consume q rows, emit n_out zero rows,
         advance history identically to the healthy step."""
-        q = self.bspec.in_per_launch
-        H = self._step.hist_rows
-        self._hist = np.concatenate([self._hist, slab[:q]], axis=0)[-H:]
-        return np.zeros((self.bspec.out_per_launch, self.B),
-                        dtype=np.int16)
-
-    def _recv(self, y) -> np.ndarray:
-        """Blocking readback; an async device failure surfacing here
-        degrades the fleet and substitutes the exact count of zeros."""
-        try:
-            return to_host(y)
-        except Exception:
-            self._enter_degraded()
-            return np.zeros((self.bspec.out_per_launch, self.B),
-                            dtype=np.int16)
+        self._hist = self._advance_degraded_hist(slab)
+        return self._zero_result()
 
     def _dispatch(self, slab: np.ndarray):
         """Async-dispatch one launch on a fully prepared slab."""
@@ -254,7 +223,7 @@ class FleetResampler:
         to ResamplerCore.import_history at launch-quantum boundaries (the
         trailing filt_len-1 rows are the actual filter memory)."""
         c = self.channels
-        h = to_host(self._hist)[:, slot * c:(slot + 1) * c]
+        h = self._hist_host()[:, slot * c:(slot + 1) * c]
         N = self.spec.filt_len
         return h[h.shape[0] - (N - 1):]
 
@@ -278,7 +247,7 @@ class FleetResampler:
             "fixed_point": self.fixed_point,
             "active": list(self._active),
             "degraded": self._degraded,
-            "hist": to_host(self._hist),
+            "hist": self._hist_host(),
             "staged": [self._stager.peek(s) for s in range(self.n_streams)],
             "carry": [self._stager.carry(s) for s in range(self.n_streams)],
             "banked": [[o.copy() for o in self._out[s]]
@@ -294,6 +263,9 @@ class FleetResampler:
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
         if state.get("degraded", False):
             self._degraded = True
+        if self._degraded:
+            # sticky: a healthy checkpoint loaded into a degraded engine
+            # must keep the host-ndarray hist (the device may be dead)
             self._hist = np.array(state["hist"], dtype=np.int16)
         else:
             self._hist = jnp.asarray(state["hist"])

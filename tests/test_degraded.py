@@ -230,3 +230,57 @@ def test_multifleet_degraded_surface():
     assert any(mf.degraded_buckets().values())
     # the healthy bucket still produces real (nonzero) output
     assert mf.pull("b").any()
+
+
+def test_fleet_healthy_checkpoint_into_degraded_fleet():
+    """Restoring a PRE-failure (healthy) checkpoint into an
+    already-degraded fleet must keep the degraded host-state invariants:
+    degradation is sticky and slot ops must not hit an immutable device
+    array (round-3 review finding)."""
+    S, C = 2, 1
+    fleet = FleetResampler(S, C, 44100, 48000, 7,
+                           target_chunk_frames=1024, use_pallas=False)
+    frames = _random_frames(S, 3000, C, seed=44)
+    for s in range(S):
+        fleet.push(s, frames[s])
+    fleet.poll()
+    healthy_state = fleet.state_dict()
+    assert not healthy_state["degraded"]
+
+    _poison_dispatch(fleet)
+    for s in range(S):
+        fleet.push(s, frames[s])
+    fleet.poll()
+    assert fleet.degraded
+
+    fleet.load_state_dict(healthy_state)
+    assert fleet.degraded  # sticky
+    # slot ops on the (host) hist must work, not raise on a jnp array
+    fleet.clear_slot(0)
+    fleet.seed_lane_history(0, np.zeros((fleet.spec.filt_len - 1, C),
+                                        np.int16))
+    for s in range(S):
+        fleet.push(s, frames[s])
+    fleet.poll()
+    fleet.flush()
+    assert not fleet.pull(0).any()
+
+
+def test_batched_flush_after_async_death_degrades():
+    """A device failure surfacing only at a control-path readback
+    (flush/skip_zeros reading the history) must degrade, not raise."""
+    S, C = 1, 1
+    eng = BatchedResampler(S, C, 44100, 48000, 7, use_pallas=False,
+                           target_chunk_frames=1024)
+    eng.process(_random_frames(S, 2000, C, seed=47))
+
+    class _DeadHist:
+        shape = (eng._step.hist_rows, eng.B)
+
+        def block_until_ready(self):
+            raise RuntimeError("device died")
+
+    eng._hist = _DeadHist()
+    y = eng.flush()  # must not raise
+    assert eng.degraded
+    assert not y.any()

@@ -114,3 +114,37 @@ def test_multifleet_low_latency():
     mf.add_stream("b", 24000, 48000, 5)
     for b in mf._buckets.values():
         assert b.fleet.launch_latency_ms <= 20.0
+
+
+def test_permissive_budget_never_inflates_quantum():
+    """A cap looser than the chosen geometry must be a no-op: same
+    quantum as the uncapped engine (a cap may only ever shrink)."""
+    plain = BatchedResampler(2, 1, 44100, 48000, 7, use_pallas=False,
+                             target_chunk_frames=882)
+    capped = BatchedResampler(2, 1, 44100, 48000, 7, use_pallas=False,
+                              target_chunk_frames=882,
+                              max_latency_ms=1000.0)
+    assert capped.in_frames_per_launch == plain.in_frames_per_launch
+
+
+def test_budget_holds_when_pallas_sizes_reject(monkeypatch):
+    """The cap must hold even when the Pallas size gates reject every
+    kernel downstream of the pre-check (the former fall-through reached
+    an UNCAPPED dense geometry)."""
+    import speex_resampler_tpu.parallel.batch as bm
+    monkeypatch.setattr(bm, "_MAX_TILED_WEIGHT_BYTES", 0)
+    monkeypatch.setattr(bm, "_MAX_STREAMED_WEIGHT_BYTES", 0)
+    eng = BatchedResampler(2, 1, 44100, 48000, 7, use_pallas=True,
+                           pallas_interpret=True, max_latency_ms=20.0)
+    assert eng.bspec.kernel == "dense"
+    assert eng.launch_latency_ms <= 20.0
+
+
+def test_quantized_budget_keeps_family_and_cap():
+    """A cap between one and two tiled periods floor-quantizes within the
+    tiled family instead of falling to dense."""
+    eng = BatchedResampler(2, 1, 44100, 48000, 7, use_pallas=True,
+                           pallas_interpret=True,
+                           target_chunk_frames=9408, max_latency_ms=80.0)
+    assert eng.bspec.kernel == "tiled"
+    assert eng.launch_latency_ms <= 80.0
