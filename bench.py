@@ -360,10 +360,10 @@ def main():
     # host-path + fixed e2e BEFORE the sweep: driver-visible host numbers
     # outrank a third sweep row if the budget squeezes
     _note("fleet e2e")
-    fleet_res = (fleet_e2e() if _time_left() > 180
+    fleet_res = (fleet_e2e() if _time_left() > 120
                  else {"skipped": "time budget"})
     _note("fleet e2e fixed")
-    fleet_fixed_res = (fleet_e2e(fixed_point=True) if _time_left() > 150
+    fleet_fixed_res = (fleet_e2e(fixed_point=True) if _time_left() > 100
                        else {"skipped": "time budget"})
 
     # FIXED_POINT universe (bit-exact Q15, scheme "fixed": exact int8-plane
