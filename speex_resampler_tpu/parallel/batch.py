@@ -46,7 +46,6 @@ from ..ops import phase as ph
 from ..ops import fir_matmul as fm
 from ..utils.degrade import ZeroFillDegradation
 from ..utils.errors import ResamplerError, ResamplerErrorCode
-from ..utils.host import to_host
 
 __all__ = ["BatchedResampler", "make_batched_step", "BatchSpec"]
 

@@ -26,7 +26,6 @@ from ..ops import phase as ph
 from ..parallel.batch import BatchSpec, _launch_geometry, make_batched_step
 from ..utils.degrade import ZeroFillDegradation
 from ..utils.errors import ResamplerError, ResamplerErrorCode
-from ..utils.host import to_host
 from .native import make_stager
 from ..utils.profiling import LaunchStats
 
