@@ -148,3 +148,40 @@ def test_quantized_budget_keeps_family_and_cap():
                            target_chunk_frames=9408, max_latency_ms=80.0)
     assert eng.bspec.kernel == "tiled"
     assert eng.launch_latency_ms <= 80.0
+
+
+def test_fuzz_latency_caps_random_configs():
+    """Seeded sweep: for random (ratio, quality, cap) draws the capped
+    engine must (a) keep its quantum under the cap or refuse cleanly when
+    one period can't fit, and (b) match the uncapped engine to <= 1 LSB
+    (a different launch quantum reshapes the dense matmul, so XLA may
+    regroup the f32 accumulation — rounding-boundary ties only; see
+    tests/test_batch.py module docstring) — hardening the round-3
+    geometry wrapper beyond the hand-picked configs."""
+    import math
+    from conftest import assert_lsb_close
+
+    rates = [8000, 11025, 16000, 22050, 24000, 32000, 44100, 48000]
+    rng = np.random.default_rng(404)
+    checked = 0
+    while checked < 8:
+        ir, orr = (int(r) for r in rng.choice(rates, size=2, replace=False))
+        q = int(rng.integers(0, 11))
+        cap_ms = float(rng.choice([5.0, 20.0, 60.0, 250.0]))
+        num = ir // math.gcd(ir, orr)
+        try:
+            capped = BatchedResampler(2, 1, ir, orr, q, use_pallas=False,
+                                      max_latency_ms=cap_ms)
+        except ResamplerError:
+            # legal only when one num-period exceeds the cap
+            assert num > cap_ms * ir / 1000, (ir, orr, q, cap_ms)
+            continue
+        assert capped.launch_latency_ms <= cap_ms + 1e-9, (
+            ir, orr, q, cap_ms, capped.launch_latency_ms)
+        assert capped.in_frames_per_launch % num == 0
+        plain = BatchedResampler(2, 1, ir, orr, q, use_pallas=False)
+        frames = _random_frames(2, 9000, 1, seed=checked)
+        a = np.concatenate([capped.process(frames), capped.flush()], axis=1)
+        b = np.concatenate([plain.process(frames), plain.flush()], axis=1)
+        assert_lsb_close(a, b)
+        checked += 1
