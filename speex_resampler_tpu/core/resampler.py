@@ -115,6 +115,15 @@ class ResamplerCore:
 
         self.in_stride = 1   # resample.c:1170-1178
         self.out_stride = 1  # resample.c:1180-1188
+        # C's mem allocation high-water mark: filt_len-1 + buffer_size(160),
+        # grow-only (resample.c:709-720).  The process loops' input bite is
+        # xlen = mem_alloc_size - (filt_len-1), so after a filter shrink the
+        # bite EXCEEDS 160 — observable in consumed-input accounting when
+        # the caller's output capacity binds.
+        self._mem_alloc_size = 0
+        # (magic/fresh out+consumed) of the most recent process call —
+        # introspection for the consumed-accounting differential tests
+        self.last_accounting = None
         # resample.c:561-591/:785-791 parity: after a device/allocation
         # failure the resampler degrades to emitting zeros while advancing
         # state identically, so callers ignoring errors cannot deadlock.
@@ -139,6 +148,8 @@ class ResamplerCore:
         self._spec = spec
         self._weights.clear()
         N = spec.filt_len
+        # st->buffer_size = 160 (resample.c:835); alloc never shrinks
+        self._mem_alloc_size = max(self._mem_alloc_size, N - 1 + 160)
 
         if not self.started or old_spec is None:
             for c in range(self.nb_channels):
@@ -324,6 +335,7 @@ class ResamplerCore:
             "in_rate": self.in_rate, "out_rate": self.out_rate,
             "num": self.num, "den": self.den, "quality": self.quality,
             "started": self.started,
+            "mem_alloc_size": self._mem_alloc_size,
             "in_stride": self.in_stride, "out_stride": self.out_stride,
             "last_sample": self.last_sample.copy(),
             "samp_frac_num": self.samp_frac_num.copy(),
@@ -344,6 +356,8 @@ class ResamplerCore:
         self.set_rate_frac(int(state["num"]), int(state["den"]),
                            int(state["in_rate"]), int(state["out_rate"]))
         self.started = bool(state["started"])
+        self._mem_alloc_size = max(self._mem_alloc_size,
+                                   int(state.get("mem_alloc_size", 0)))
         self.in_stride = int(state["in_stride"])
         self.out_stride = int(state["out_stride"])
         self.last_sample[:] = state["last_sample"]
@@ -439,48 +453,68 @@ class ResamplerCore:
         spec = self._spec
         N = spec.filt_len
         outs = []
-        cap = int(out_capacity)
         odt = np.float32 if out_float else np.int16
 
-        # Phase A — drain pending magic samples (resample.c:904-922, :938-940)
+        # Derive the exact (produced, consumed) split for the magic drain
+        # and the fresh chunk by walking the reference's per-call loops
+        # (bite quantization, ystack slots, magic gates) in pure integer
+        # math — see ph.process_accounting.  Which of the two C entry-point
+        # shapes applies follows the #ifdef FIXED_POINT name swap
+        # (resample.c:924-928/:965-969): the ystack (staging) entry is the
+        # float build's process_int and the fixed build's process_float.
         n_magic = int(self.magic_samples[c0])
-        if n_magic:
-            pend = np.stack([self._pending[c] for c in chans])
-            y, consumed = self._launch(chans, pend, cap, out_float)
-            cap -= y.shape[1]
-            outs.append(y)
-            for i, c in enumerate(chans):
-                self._pending[c] = self._pending[c][consumed:]
-                self.magic_samples[c] = n_magic - consumed
-            n_magic -= consumed
+        acct = ph.process_accounting(
+            n_magic, x.shape[1], int(out_capacity),
+            int(self.last_sample[c0]), int(self.samp_frac_num[c0]),
+            spec.num, spec.den,
+            xlen=self._mem_alloc_size - (N - 1),
+            ystack=(out_float == self.fixed_point))
+        self.last_accounting = acct  # introspection for differential tests
 
-        # Phase B — the chunk itself, only if magic fully drained
-        # (the !st->magic_samples gate, resample.c:940, :999)
-        if n_magic == 0:
-            y, _ = self._launch(chans, x, cap, out_float)
+        # Phase A — drain pending magic samples (resample.c:904-922, :938-940)
+        if n_magic and (acct.magic_out or acct.magic_consumed):
+            pend = np.stack([self._pending[c] for c in chans])
+            y = self._launch(chans, pend, acct.magic_out,
+                             acct.magic_consumed, out_float)
             outs.append(y)
+            for c in chans:
+                self._pending[c] = self._pending[c][acct.magic_consumed:]
+                self.magic_samples[c] = n_magic - acct.magic_consumed
+
+        # Phase B — the chunk itself, only once magic fully drained
+        # (the !st->magic_samples gate, resample.c:940, :999)
+        if acct.fresh_out or acct.fresh_consumed:
+            outs.append(self._launch(chans, x, acct.fresh_out,
+                                     acct.fresh_consumed, out_float))
 
         if not outs:
             return np.zeros((len(chans), 0), dtype=odt)
         return np.concatenate(outs, axis=1)
 
     def _launch(self, chans: list[int], new: np.ndarray,
-                cap: int, out_float: bool = False) -> tuple[np.ndarray, int]:
+                n_out: int, consumed: int,
+                out_float: bool = False) -> np.ndarray:
         """Run one device launch over ``new`` samples for channels ``chans``
-        (lockstep state), updating history + phase state.  Returns
-        (outputs int16 [B, n_out], consumed_new_samples)."""
+        (lockstep state), producing exactly ``n_out`` outputs and consuming
+        exactly ``consumed`` inputs (both pre-derived by
+        ph.process_accounting so capacity-bound bite/slot quantization
+        matches the reference), updating history + phase state.  Returns
+        outputs [B, n_out] (int16, or float32 when ``out_float``).
+
+        The final phase state is the closed-form composition of the
+        reference's per-bite native calls: each call does
+        ``last_sample = advance(o) - cons`` (resample.c:891-894) and the
+        Euclidean steps compose, so advance(total_out) - total_consumed
+        reproduces the walked state exactly (ls_after - consumed may stay
+        positive when the capacity binds — the residual points into the
+        dropped input tail)."""
         spec = self._spec
         N = spec.filt_len
         c0 = chans[0]
         ls0 = int(self.last_sample[c0])
         f0 = int(self.samp_frac_num[c0])
-        n_new = new.shape[1]
 
-        n_out = min(ph.producible_outputs(n_new, ls0, f0, spec.num, spec.den),
-                    cap)
-        n_out = max(n_out, 0)
         ls_after, f_after = ph.advance(n_out, ls0, f0, spec.num, spec.den)
-        consumed = min(ls_after, n_new)
 
         hist = np.stack([self._history[c] for c in chans])
         if self.fixed_point:
@@ -524,7 +558,7 @@ class ResamplerCore:
             self.last_sample[c] = ls_after - consumed
             self.samp_frac_num[c] = f_after
             self._history[c] = X[i, consumed:consumed + N - 1]
-        return y, consumed
+        return y
 
     # ------------------------------------------------------------------
     # Device launch.

@@ -27,6 +27,8 @@ import numpy as np
 __all__ = [
     "producible_outputs",
     "advance",
+    "ProcessAccounting",
+    "process_accounting",
     "block_constants",
     "build_padded_weights",
     "build_phase_tiled_weights",
@@ -50,6 +52,117 @@ def advance(n_out: int, ls0: int, f0: int, num: int,
     before the consumed-input subtraction (resample.c:891-894)."""
     t = f0 + n_out * num
     return ls0 + t // den, t % den
+
+
+@dataclasses.dataclass(frozen=True)
+class ProcessAccounting:
+    """Exact (produced, consumed) bookkeeping of one reference process_*
+    call, split between the magic-sample drain and the fresh chunk."""
+    magic_out: int
+    magic_consumed: int
+    fresh_out: int
+    fresh_consumed: int
+
+
+def _native_step(n_in: int, o_bound: int, ls: int, f: int, num: int,
+                 den: int) -> tuple[int, int, int, int]:
+    """One speex_resampler_process_native call (resample.c:878-902):
+    returns (produced, consumed, ls', f') for ``n_in`` offered inputs and
+    ``o_bound`` output capacity, where ls' carries the unconsumed residual
+    (``last_sample -= in_len``, :894)."""
+    o = min(producible_outputs(n_in, ls, f, num, den), max(o_bound, 0))
+    la, fa = advance(o, ls, f, num, den)
+    cons = min(la, n_in)  # the in_len clamp, resample.c:891-892
+    return o, cons, la - cons, fa
+
+
+def process_accounting(n_magic: int, n_new: int, cap: int, ls0: int,
+                       f0: int, num: int, den: int, *, xlen: int,
+                       ystack: bool,
+                       ystack_len: int = 1024) -> ProcessAccounting:
+    """Mirror the reference's per-call consumed/produced bookkeeping
+    EXACTLY, bite loop and all.
+
+    The C process entry points feed the hot loop in bites of ``xlen =
+    mem_alloc_size - (filt_len-1)`` input samples (160 unless the filter
+    has since shrunk — mem_alloc_size never shrinks, resample.c:709-720)
+    and exit the moment the caller's output capacity ``olen`` hits zero —
+    later bites are never offered, so the consumed-input count is
+    BITE-QUANTIZED whenever the capacity binds.  The JS wrapper then drops
+    the unconsumed tail (``pos`` advances by the full chunk regardless of
+    ``in_len``, src/index.ts:92-116), making this quantization part of the
+    reference's observable streaming behavior: a closed-form
+    ``consumed = min(ls_after, n_new)`` can exceed what C consumed by up
+    to ``xlen - 1`` samples and desync the stream forever after.
+
+    Two entry-point shapes exist (the ``#ifdef FIXED_POINT`` name swap,
+    resample.c:924-928/:965-969):
+
+    - ``ystack=False`` — the native-word entry (float build's
+      process_float, fixed build's process_int, resample.c:929-963):
+      magic samples are drained by ONE native call with the full output
+      capacity before the loop; fresh input is processed only if the
+      stash fully drained; each bite's output bound is the full remaining
+      capacity.
+    - ``ystack=True`` — the staging entry (float build's process_int,
+      fixed build's process_float, resample.c:971-1035): everything runs
+      inside ``while (ilen && olen)``, so NOTHING is processed (not even
+      magic) when no fresh input is offered; each iteration stages
+      through a 1024-sample stack buffer, draining magic first, so the
+      fresh bite sharing an iteration with the final magic drain gets the
+      slot's leftover ``min(olen,1024) - omagic`` as its output bound
+      (and may consume residual input even with a zero output bound, via
+      the ``last_sample`` clamp).
+
+    When no bound binds, the totals equal the closed form (the bite
+    recurrence composes); this function is still cheap — O(n/xlen +
+    out/1024) pure-integer iterations — so callers use it unconditionally.
+    """
+    ls, f = int(ls0), int(f0)
+    magic, ilen, olen = int(n_magic), int(n_new), int(cap)
+    m_out = m_cons = f_out = f_cons = 0
+
+    if not ystack:
+        if magic:
+            o, cons, ls, f = _native_step(magic, olen, ls, f, num, den)
+            m_out, m_cons = o, cons
+            magic -= cons
+            olen -= o
+        if magic == 0:
+            while ilen > 0 and olen > 0:
+                ichunk = min(ilen, xlen)
+                o, cons, ls, f = _native_step(ichunk, olen, ls, f, num,
+                                              den)
+                f_out += o
+                f_cons += cons
+                ilen -= cons
+                olen -= o
+                if cons == 0 and o == 0:  # no progress possible
+                    break
+        return ProcessAccounting(m_out, m_cons, f_out, f_cons)
+
+    while ilen > 0 and olen > 0:
+        ichunk = min(ilen, xlen)
+        ochunk = min(olen, ystack_len)
+        progressed = 0
+        if magic:
+            o, cons, ls, f = _native_step(magic, ochunk, ls, f, num, den)
+            m_out += o
+            m_cons += cons
+            magic -= cons
+            ochunk -= o
+            olen -= o
+            progressed = o + cons
+        if magic == 0:
+            o, cons, ls, f = _native_step(ichunk, ochunk, ls, f, num, den)
+            f_out += o
+            f_cons += cons
+            ilen -= cons
+            olen -= o
+            progressed += o + cons
+        if progressed == 0:  # no progress possible
+            break
+    return ProcessAccounting(m_out, m_cons, f_out, f_cons)
 
 
 @dataclasses.dataclass(frozen=True)

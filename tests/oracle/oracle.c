@@ -227,6 +227,10 @@ static int cmd_chunks(int argc, char **argv)
             die("process failed");
         fwrite(outbuf, 2, (size_t)out_len * channels, fout);
         free(outbuf);
+        /* accounting trace for differential debugging (stderr only) */
+        fprintf(stderr, "chunk %ld offered %ld consumed %u produced %u cap %ld\n",
+                si - 1, frames, in_len, out_len,
+                (long)(out_buffer_size / channels / 2));
         pos += frames; /* JS drops unconsumed input (ignores in_len) */
     }
     fclose(fout);
@@ -327,6 +331,122 @@ static int cmd_setrate(int argc, char **argv)
  * ceil(frames*out_rate/in_rate) frames (no JS wrapper exists for this path;
  * the capacity is ample so nothing is dropped).
  */
+/* Capacity-bound accounting differential:
+ *   caps <ch> <in> <out> <q> <float01> <in.pcm> <out.bin> <sched.txt>
+ *        [switch_chunk in1 out1 q1]
+ * sched.txt holds whitespace-separated PAIRS "frames cap" (cycled): each
+ * process call offers `frames` input frames with an output capacity of
+ * exactly `cap` frames — so the caller can force the capacity to bind at
+ * and around the core's internal bite/slot boundaries
+ * (resample.c:929-963 native entry, :971-1035 ystack entry; float01
+ * selects which via the #ifdef FIXED_POINT name swap).  With
+ * switch_chunk >= 0, set_rate(in1,out1)+set_quality(q1) run before that
+ * chunk so the magic-sample drain also interacts with tight caps.
+ * Per chunk the output stream carries: uint32 consumed, uint32 produced,
+ * then produced*ch samples (int16, or float32 when float01).  Unconsumed
+ * input is dropped JS-style (src/index.ts:92-116). */
+static int cmd_caps(int argc, char **argv)
+{
+    if (argc < 9)
+        die("caps <ch> <in> <out> <q> <float01> <in.pcm> <out.bin> <sched.txt> [switch_chunk in1 out1 q1]");
+    int channels = atoi(argv[1]);
+    int in_rate = atoi(argv[2]);
+    int out_rate = atoi(argv[3]);
+    int quality = atoi(argv[4]);
+    int use_float = atoi(argv[5]);
+    long switch_chunk = (argc > 9) ? atol(argv[9]) : -1;
+
+    FILE *fin = fopen(argv[6], "rb");
+    if (!fin)
+        die("cannot open input");
+    fseek(fin, 0, SEEK_END);
+    long nbytes = ftell(fin);
+    fseek(fin, 0, SEEK_SET);
+    int16_t *pcm = (int16_t *)malloc(nbytes);
+    if (fread(pcm, 1, nbytes, fin) != (size_t)nbytes)
+        die("short read");
+    fclose(fin);
+
+    long n_sched = 0, cap_sched = 16;
+    long *sched = (long *)malloc(cap_sched * 2 * sizeof(long));
+    FILE *fs = fopen(argv[8], "r");
+    if (!fs)
+        die("cannot open schedule");
+    long a, b;
+    while (fscanf(fs, "%ld %ld", &a, &b) == 2) {
+        if (n_sched == cap_sched)
+            sched = (long *)realloc(sched,
+                                    (cap_sched *= 2) * 2 * sizeof(long));
+        sched[2 * n_sched] = a;
+        sched[2 * n_sched + 1] = b;
+        n_sched++;
+    }
+    fclose(fs);
+    if (!n_sched)
+        die("empty schedule");
+
+    long total_frames = nbytes / 2 / channels;
+    int err = 0;
+    SpeexResamplerState *st =
+        speex_resampler_init(channels, in_rate, out_rate, quality, &err);
+    if (!st)
+        die("init failed");
+    FILE *fout = fopen(argv[7], "wb");
+    if (!fout)
+        die("cannot open output");
+
+    float *fbuf = NULL;
+    if (use_float) {
+        fbuf = (float *)malloc((size_t)total_frames * channels * 4);
+        for (long i = 0; i < total_frames * channels; i++)
+            fbuf[i] = (float)pcm[i];
+    }
+
+    long si = 0;
+    for (long pos = 0; pos < total_frames;) {
+        if (si == switch_chunk) {
+            if (speex_resampler_set_rate(st, (spx_uint32_t)atol(argv[10]),
+                                         (spx_uint32_t)atol(argv[11])))
+                die("set_rate failed");
+            if (speex_resampler_set_quality(st, atoi(argv[12])))
+                die("set_quality failed");
+        }
+        long frames = sched[2 * (si % n_sched)];
+        long cap = sched[2 * (si % n_sched) + 1];
+        si++;
+        if (frames > total_frames - pos)
+            frames = total_frames - pos;
+        spx_uint32_t in_len = (spx_uint32_t)frames;
+        spx_uint32_t out_len = (spx_uint32_t)cap;
+        if (use_float) {
+            float *outbuf = (float *)calloc((size_t)cap * channels, 4);
+            if (speex_resampler_process_interleaved_float(
+                    st, fbuf + pos * channels, &in_len, outbuf, &out_len))
+                die("process failed");
+            fwrite(&in_len, 4, 1, fout);
+            fwrite(&out_len, 4, 1, fout);
+            fwrite(outbuf, 4, (size_t)out_len * channels, fout);
+            free(outbuf);
+        } else {
+            int16_t *outbuf = (int16_t *)calloc((size_t)cap * channels, 2);
+            if (speex_resampler_process_interleaved_int(
+                    st, pcm + pos * channels, &in_len, outbuf, &out_len))
+                die("process failed");
+            fwrite(&in_len, 4, 1, fout);
+            fwrite(&out_len, 4, 1, fout);
+            fwrite(outbuf, 2, (size_t)out_len * channels, fout);
+            free(outbuf);
+        }
+        pos += frames; /* JS drops unconsumed input */
+    }
+    fclose(fout);
+    speex_resampler_destroy(st);
+    free(pcm);
+    free(fbuf);
+    free(sched);
+    return 0;
+}
+
 static int cmd_processf(int argc, char **argv)
 {
     if (argc < 8)
@@ -471,6 +591,8 @@ int main(int argc, char **argv)
         return cmd_bench(argc - 1, argv + 1);
     if (!strcmp(argv[1], "chunks"))
         return cmd_chunks(argc - 1, argv + 1);
+    if (!strcmp(argv[1], "caps"))
+        return cmd_caps(argc - 1, argv + 1);
     die("unknown command");
     return 1;
 }
