@@ -48,6 +48,18 @@ sys.path.insert(0, str(REPO))
 
 from conftest import ORACLE, ORACLE_FIXED, _build_oracle  # noqa: E402
 
+# Persistent compile cache: wild-ratio draws are compile-dominated on CPU
+# (fresh filter geometry per draw); identical geometries recur within a
+# draw's ragged schedule and across seeds, so the cache compounds.
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_compilation_cache_dir",
+                      str(REPO / "build" / "jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 from speex_resampler_tpu.core.resampler import ResamplerCore  # noqa: E402
 from speex_resampler_tpu.utils.errors import ResamplerError  # noqa: E402
 
@@ -59,6 +71,24 @@ def _draw_rate(rng):
     if rng.random() < 0.5:
         return int(rng.choice(_STD_RATES))
     return int(rng.integers(4000, 192001))
+
+
+def _cap_frames(n, ir, orr, q):
+    """Bound a draw's input length by estimated MAC cost so wild-ratio
+    configs (huge reduced den -> the core's host-gather fallback, ~100x
+    slower per tap than the dense XLA path) stay seconds per draw instead
+    of minutes.  Parity bugs need boundary *crossings*, not length."""
+    from speex_resampler_tpu.ops.filter_design import QUALITY_MAP
+    den = orr // math.gcd(ir, orr)
+    taps = QUALITY_MAP[q].base_length * max(1.0, ir / orr)
+    cost_per_in = taps * orr / max(ir, 1)
+    # Huge reduced den also means fresh per-shape jit compiles dominate,
+    # so the frame budget has to be much harsher than the MAC model alone
+    # suggests (measured: a den~30k q10 draw at n=5859 still ran ~6 min).
+    budget = 2e5 if den > 8000 else 3e7
+    if den > 8000 and q >= 8:
+        budget = 5e4
+    return int(max(400, min(n, budget / max(cost_per_in, 1e-9))))
 
 
 def _lsb_check(ours, golden, max_rate=5e-3):
@@ -139,7 +169,8 @@ def _iter_chunks(rng, tmp, fixed):
     skip_at = int(rng.integers(0, 12)) if rng.random() < 0.3 else -1
     # cap BOTH input length and implied output count (keeps extreme
     # upsample draws like 4k->192k from blowing up a CPU iteration)
-    n = int(min(0.4 * ir, 22000, 60000 * ir // orr + 1000))
+    n = _cap_frames(int(min(0.4 * ir, 22000, 60000 * ir // orr + 1000)),
+                    ir, orr, q)
     frames = rng.integers(-32768, 32768, size=(n, ch)).astype(np.int16)
 
     cfg = dict(mode="chunks", fixed=fixed, ir=ir, orr=orr, q=q, ch=ch,
@@ -167,7 +198,8 @@ def _iter_caps(rng, tmp, fixed):
     q = int(rng.integers(0, 11))
     ch = int(rng.integers(1, 3))
     use_float = bool(rng.random() < 0.5)
-    n = int(min(0.4 * ir, 16000, 50000 * ir // orr + 800))
+    n = _cap_frames(int(min(0.4 * ir, 16000, 50000 * ir // orr + 800)),
+                    ir, orr, q)
     sched = []
     for _ in range(int(rng.integers(2, 7))):
         f = int(rng.choice([1, 37, 159, 160, 161, 320, 1023, 1024,
@@ -180,6 +212,7 @@ def _iter_caps(rng, tmp, fixed):
     if rng.random() < 0.5:
         switch = (int(rng.integers(1, 8)), _draw_rate(rng),
                   _draw_rate(rng), int(rng.integers(0, 11)))
+        n = min(n, _cap_frames(n, switch[1], switch[2], switch[3]))
     cfg = dict(mode="caps", fixed=fixed, ir=ir, orr=orr, q=q, ch=ch,
                use_float=use_float, sched=sched, switch=switch, n=n)
     pcm = rng.integers(-32768, 32768, size=n * ch).astype(np.int16)
@@ -252,6 +285,7 @@ def _iter_setrate(rng, tmp, fixed):
     switch_chunk = int(rng.integers(1, 20))
     max_up = max(cfg0[1] / cfg0[0], cfg1[1] / cfg1[0])
     n = int(min(0.4 * cfg0[0], 20000, 60000 / max_up + 1000))
+    n = min(_cap_frames(n, *cfg0), _cap_frames(n, *cfg1))
     # ensure the switch actually happens inside the stream
     switch_chunk = min(switch_chunk, max(1, n // chunk_frames - 1))
     frames = rng.integers(-32768, 32768, size=(n, ch)).astype(np.int16)
@@ -326,6 +360,8 @@ def main():
     ap.add_argument("--budget-s", type=float, default=900.0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--no-batch", action="store_true")
+    ap.add_argument("--verbose", action="store_true",
+                    help="print every draw's config and wall time")
     args = ap.parse_args()
 
     _build_oracle()
@@ -339,6 +375,7 @@ def main():
     with tempfile.TemporaryDirectory() as td:
         tmp = Path(td)
         while time.time() - t0 < args.budget_s:
+            t_draw = time.time()
             r = rng.random()
             fixed = rng.random() < 0.5
             try:
@@ -356,6 +393,8 @@ def main():
             stats[cfg.get("mode", "?")] = stats.get(cfg.get("mode", "?"),
                                                     0) + 1
             iters += 1
+            if args.verbose:
+                print(f"[{time.time() - t_draw:6.1f}s] {cfg}", flush=True)
             if not ok:
                 failures.append({"cfg": cfg, "detail": detail})
                 print(f"FAIL {cfg} -> {detail}", flush=True)

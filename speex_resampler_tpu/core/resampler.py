@@ -612,7 +612,8 @@ class ResamplerCore:
         s = (ls0 + t // den).astype(np.int32)
         T = X.shape[1]
         s = np.minimum(s, max(T - N, 0)).astype(np.int32)  # masked tail lanes
-        taps = spec.phase_table[p]  # [n_pad, N] host gather
+        taps = spec.phase_rows(p)  # [n_pad, N] host gather (lazy: huge-den
+        # specs compute just these rows, never the full [den, N] table)
         y = fm.resample_gather(jnp.asarray(X), jnp.asarray(taps),
                                jnp.asarray(s), tile=tile, raw=out_float)
         return to_host(y)[:, :n_out]

@@ -304,8 +304,20 @@ def fixed_interp_tensors(sinc_table: np.ndarray, filt_len: int,
         out      = interp_mix_fixed(accum, coef[f])
 
     Returns (W4 int16 [den, 4, filt_len], coef int16 [den, 4])."""
+    return fixed_interp_rows(sinc_table, filt_len, oversample, den,
+                             np.arange(den, dtype=np.int64))
+
+
+def fixed_interp_rows(sinc_table: np.ndarray, filt_len: int,
+                      oversample: int, den: int, f: np.ndarray
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """Rows of fixed_interp_tensors for the given phases only.
+
+    Each row depends solely on its own f value, so a subset is bit-identical
+    to slicing the full tensors — this is what lets huge-den configs (the
+    gather serving path) avoid materializing all ``den`` rows."""
     from .fixed_math import cubic_coef_fixed, pdiv32
-    f = np.arange(den, dtype=np.int64)
+    f = np.asarray(f, dtype=np.int64)
     # samp_frac_num*oversample is uint32 arithmetic in C (wraps mod 2^32)
     prod = (f * oversample) & 0xFFFFFFFF
     offset = (prod // den).astype(np.int64)
@@ -340,7 +352,22 @@ def effective_phase_table(sinc_table: np.ndarray, filt_len: int,
     shape the TPU matmul kernel wants.  Deviation from the reference is only
     float reassociation, bounded well under 1 LSB of the s16 output.
     """
-    f = np.arange(den, dtype=np.uint64)
+    return effective_phase_rows(sinc_table, filt_len, oversample, den,
+                                np.arange(den, dtype=np.uint64))
+
+
+def effective_phase_rows(sinc_table: np.ndarray, filt_len: int,
+                         oversample: int, den: int,
+                         f: np.ndarray) -> np.ndarray:
+    """Rows of effective_phase_table for the given phases only.
+
+    Row f depends solely on its own phase value, so computing a subset is
+    bit-identical to slicing the full table.  Huge-den configs (reduced
+    den in the tens of thousands and up, served by the gather kernel) use
+    this to avoid the O(den * filt_len) table the dense paths want — the C
+    reference never materializes per-phase effective taps at all for the
+    interpolated path (resample.c:438-559 interpolates on the fly)."""
+    f = np.asarray(f).astype(np.uint64)
     offset = (f * np.uint64(oversample) // np.uint64(den)).astype(np.int64)
     rem = (f * np.uint64(oversample) % np.uint64(den)).astype(np.int64)
     frac = (rem.astype(F32) / F32(den)).astype(F32)
@@ -357,6 +384,14 @@ def effective_phase_table(sinc_table: np.ndarray, filt_len: int,
 # Full filter design (update_filter equivalent).
 # ---------------------------------------------------------------------------
 
+# Full collapsed tables are materialized (and cached on the spec) only up
+# to this many entries; beyond it, row accessors compute just the rows a
+# launch needs.  The cutover matches where the engines stop using dense/
+# tiled weights anyway: huge-den configs serve through gather kernels whose
+# weights are per-output rows, never the full [den, filt_len] table.
+_LAZY_TABLE_ENTRIES = 1 << 22
+
+
 @dataclasses.dataclass(frozen=True)
 class FilterSpec:
     """Immutable result of filter design for one (quality, num/den) config.
@@ -366,6 +401,15 @@ class FilterSpec:
     it is the reference sinc table verbatim; for the interpolated path it is
     the cubic-collapsed table (see effective_phase_table).  ``sinc_table``
     preserves the reference's raw table layout for parity tests.
+
+    The collapsed tables (``phase_table`` for the float interpolated path;
+    ``interp_taps``/``interp_coef`` for the fixed one) are built LAZILY on
+    first attribute access: for pathological reduced denominators (e.g.
+    44100 -> 44101 gives den = 44101 coprime phases) the full table is
+    O(den * filt_len) — hundreds of MB and minutes of host time — while the
+    gather serving path only ever needs the rows of the phases in flight.
+    Use ``phase_rows`` / ``interp_rows`` to fetch per-output rows without
+    forcing the full table.
     """
     num: int                 # reduced ratio numerator (input rate side)
     den: int                 # reduced ratio denominator (output rate side)
@@ -378,15 +422,78 @@ class FilterSpec:
     frac_advance: int
     sinc_table: np.ndarray   # reference-layout raw table (1-D; f32, or
                              # int16 for the fixed universe)
-    phase_table: np.ndarray  # [den, filt_len] effective taps (f32; for the
-                             # fixed universe: int16, direct path only)
-    # FIXED_POINT universe (arch.h:39-67 dual build) extras; None on the
-    # float build.  The fixed interpolated hot loop cannot be collapsed to
-    # per-phase taps (integer truncations are nonlinear), so it carries the
-    # explicit 4-accumulator tensors instead (see fixed_interp_tensors).
     fixed_point: bool = False
-    interp_taps: np.ndarray | None = None   # int16 [den, 4, filt_len]
-    interp_coef: np.ndarray | None = None   # int16 [den, 4]
+    # Lazily-built caches; access through the properties / row accessors.
+    _phase_table: np.ndarray | None = None
+    _interp_taps: np.ndarray | None = None
+    _interp_coef: np.ndarray | None = None
+
+    @property
+    def phase_table(self) -> np.ndarray:
+        """[den, filt_len] effective taps (f32; for the fixed universe:
+        int16, direct path only — fixed interp keeps a (0, N) sentinel so
+        accumulator-mean shapes stay out of phase_table consumers)."""
+        if self._phase_table is None:
+            if self.fixed_point and not self.use_direct:
+                t = np.zeros((0, self.filt_len), dtype=np.int16)
+            else:
+                t = effective_phase_table(self.sinc_table, self.filt_len,
+                                          self.oversample, self.den)
+            object.__setattr__(self, "_phase_table", t)
+        return self._phase_table
+
+    @property
+    def interp_taps(self) -> np.ndarray | None:
+        """int16 [den, 4, filt_len] — FIXED_POINT interpolated universe
+        only (the integer cubic mix is nonlinear in the taps, so the four
+        accumulators stay explicit; see fixed_interp_tensors)."""
+        self._ensure_interp()
+        return self._interp_taps
+
+    @property
+    def interp_coef(self) -> np.ndarray | None:
+        """int16 [den, 4] Q15 cubic coefficients (fixed interp only)."""
+        self._ensure_interp()
+        return self._interp_coef
+
+    def _ensure_interp(self) -> None:
+        if self._interp_taps is None and self.fixed_point \
+                and not self.use_direct:
+            taps, coef = fixed_interp_tensors(self.sinc_table, self.filt_len,
+                                              self.oversample, self.den)
+            object.__setattr__(self, "_interp_taps", taps)
+            object.__setattr__(self, "_interp_coef", coef)
+
+    def _materialize_tables(self) -> bool:
+        """Whether full-table indexing is the right way to serve row
+        requests (cheap table, cached across launches) vs computing just
+        the requested rows (huge den)."""
+        return (self._phase_table is not None
+                or self._interp_taps is not None
+                or self.use_direct
+                or self.den * self.filt_len <= _LAZY_TABLE_ENTRIES)
+
+    def phase_rows(self, phases: np.ndarray) -> np.ndarray:
+        """phase_table[phases] without forcing the full table for huge-den
+        configs.  Bit-identical to indexing (rows are independent)."""
+        if self._materialize_tables():
+            return self.phase_table[phases]
+        u, inv = np.unique(np.asarray(phases, dtype=np.int64),
+                           return_inverse=True)
+        return effective_phase_rows(self.sinc_table, self.filt_len,
+                                    self.oversample, self.den, u)[inv]
+
+    def interp_rows(self, phases: np.ndarray
+                    ) -> tuple[np.ndarray, np.ndarray]:
+        """(interp_taps[phases], interp_coef[phases]) without forcing the
+        full tensors for huge-den fixed configs."""
+        if self._materialize_tables():
+            return self.interp_taps[phases], self.interp_coef[phases]
+        u, inv = np.unique(np.asarray(phases, dtype=np.int64),
+                           return_inverse=True)
+        taps, coef = fixed_interp_rows(self.sinc_table, self.filt_len,
+                                       self.oversample, self.den, u)
+        return taps[inv], coef[inv]
 
     @property
     def input_latency(self) -> int:
@@ -461,7 +568,7 @@ def design_filter(num: int, den: int, quality: int,
                       and (2**31 - 1) // word_size // den >= filt_len)
 
     window = q.window
-    interp_taps = interp_coef = None
+    phase_table = None  # interp collapsed tables build lazily (huge den)
     if fixed_point:
         if use_direct:
             table2d = build_sinc_table_direct_fixed(cutoff, filt_len, den,
@@ -471,11 +578,6 @@ def design_filter(num: int, den: int, quality: int,
         else:
             sinc_table = build_sinc_table_interp_fixed(
                 cutoff, filt_len, oversample, window)
-            interp_taps, interp_coef = fixed_interp_tensors(
-                sinc_table, filt_len, oversample, den)
-            # no collapsed table exists in the fixed universe; keep the
-            # accumulator-0..3 mean shape out of phase_table consumers
-            phase_table = np.zeros((0, filt_len), dtype=np.int16)
     elif use_direct:
         table2d = build_sinc_table_direct(cutoff, filt_len, den, window)
         sinc_table = table2d.reshape(-1)
@@ -483,14 +585,11 @@ def design_filter(num: int, den: int, quality: int,
     else:
         sinc_table = build_sinc_table_interp(cutoff, filt_len, oversample,
                                              window)
-        phase_table = effective_phase_table(sinc_table, filt_len, oversample,
-                                            den)
 
     return FilterSpec(
         num=num, den=den, quality=quality, filt_len=filt_len,
         oversample=oversample, use_direct=use_direct, cutoff=float(cutoff),
         int_advance=int_advance, frac_advance=frac_advance,
-        sinc_table=sinc_table, phase_table=phase_table,
-        fixed_point=fixed_point, interp_taps=interp_taps,
-        interp_coef=interp_coef,
+        sinc_table=sinc_table, fixed_point=fixed_point,
+        _phase_table=phase_table,
     )

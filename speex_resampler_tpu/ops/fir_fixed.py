@@ -40,12 +40,13 @@ def fixed_output_slice(X: np.ndarray, starts: np.ndarray,
     idx = starts[:, None] + np.arange(N, dtype=np.int64)[None, :]  # [m, N]
     win = X[:, idx].astype(I32)                                    # [B, m, N]
     if spec.use_direct:
-        taps = spec.phase_table[phases].astype(I32)                # [m, N]
+        taps = spec.phase_rows(phases).astype(I32)                 # [m, N]
         with np.errstate(over="ignore"):
             s = (win * taps[None]).sum(axis=-1, dtype=I32)
         return to_word16(saturate32pshr(s, 15, 32767))
-    w4 = spec.interp_taps[phases].astype(I32)                      # [m, 4, N]
-    coef = spec.interp_coef[phases]                                # [m, 4]
+    w4, coef = spec.interp_rows(phases)        # [m, 4, N] / [m, 4] (lazy:
+    w4 = w4.astype(I32)                        # huge-den specs compute just
+    #                                            these rows, see FilterSpec)
     with np.errstate(over="ignore"):
         accum = (win[:, :, None, :] * w4[None]).sum(axis=-1, dtype=I32)
     return interp_mix_fixed(accum, coef[None])                     # [B, m]

@@ -550,13 +550,13 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
                 np.int32)
             phases = (t % den).astype(np.int64)
             if spec.use_direct:
-                w_fix = (jnp.asarray(spec.phase_table[phases]),
+                w_fix = (jnp.asarray(spec.phase_rows(phases)),
                          jnp.asarray(starts_np))
             else:
-                w_fix = (jnp.asarray(spec.interp_taps[phases]),
+                taps_r, coef_r = spec.interp_rows(phases)
+                w_fix = (jnp.asarray(taps_r),
                          jnp.asarray(starts_np),
-                         jnp.asarray(
-                             spec.interp_coef[phases].astype(np.int32)))
+                         jnp.asarray(coef_r.astype(np.int32)))
 
             def step(hist, x, w):
                 if len(w) == 3:
@@ -579,7 +579,7 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
         starts_np = (t // den).astype(np.int32)
         T = N - 1 + n_in
         starts_np = np.minimum(starts_np, max(T - N, 0)).astype(np.int32)
-        taps_np = spec.phase_table[(t % den).astype(np.int64)]
+        taps_np = spec.phase_rows((t % den).astype(np.int64))
 
         def step(hist, x, w):
             taps, starts = w

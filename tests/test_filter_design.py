@@ -86,6 +86,77 @@ def test_producible_and_advance():
                     assert f_a == (f0 + n * num) % den
 
 
+def test_lazy_tables_huge_den():
+    """Huge-den interpolated specs must never materialize the full
+    [den, filt_len] collapsed table (the C reference interpolates on the
+    fly, resample.c:438-559; our gather serving path needs only the rows
+    of the phases in flight).  Bit-exactness of the lazily-computed rows
+    is pinned end-to-end by the den>=65537 oracle runs in
+    test_fuzz_configs.py; here we pin laziness itself plus the
+    dedup/inverse bookkeeping of the accessors."""
+    for fx in (False, True):
+        spec = fd.design_filter(44100, 65537, 7, fixed_point=fx)
+        assert not spec.use_direct
+        assert spec.den * spec.filt_len > fd._LAZY_TABLE_ENTRIES
+        phases = np.array([0, 1, 7, 65536, 32768, 7, 12345], dtype=np.int64)
+        if fx:
+            t, c = spec.interp_rows(phases)
+            assert spec._interp_taps is None, "rows forced the full tensors"
+            assert t.shape == (7, 4, spec.filt_len) and c.shape == (7, 4)
+            assert np.array_equal(t[2], t[5]) and np.array_equal(c[2], c[5])
+            t7, c7 = fd.fixed_interp_rows(spec.sinc_table, spec.filt_len,
+                                          spec.oversample, spec.den,
+                                          np.array([7]))
+            assert np.array_equal(t[2], t7[0])
+            assert np.array_equal(c[2], c7[0])
+        else:
+            r = spec.phase_rows(phases)
+            assert spec._phase_table is None, "rows forced the full table"
+            assert r.shape == (7, spec.filt_len)
+            assert np.array_equal(r[2], r[5])
+            r7 = fd.effective_phase_rows(spec.sinc_table, spec.filt_len,
+                                         spec.oversample, spec.den,
+                                         np.array([7]))
+            assert np.array_equal(r[2], r7[0])
+
+
+def test_lazy_rows_match_full_table_above_cutover(monkeypatch):
+    """Lazily-computed rows must be bit-identical to slicing the eagerly
+    built table.  The cutover is monkeypatched to 0 so a small (cheap)
+    config exercises the lazy branch; the real huge-den regime is pinned
+    end-to-end vs the C oracle in test_fuzz_configs.py."""
+    monkeypatch.setattr(fd, "_LAZY_TABLE_ENTRIES", 0)
+    for fx in (False, True):
+        # fresh ratio so the lru_cached spec carries no materialized cache
+        # from other tests (materialization would bypass the lazy branch)
+        spec = fd.design_filter(149, 163, 5, fixed_point=fx)
+        assert not spec.use_direct
+        phases = np.array([0, 1, 162, 81, 1, 37], dtype=np.int64)
+        if fx:
+            assert spec._interp_taps is None
+            t, c = spec.interp_rows(phases)
+            full_t, full_c = fd.fixed_interp_tensors(
+                spec.sinc_table, spec.filt_len, spec.oversample, spec.den)
+            assert np.array_equal(t, full_t[phases])
+            assert np.array_equal(c, full_c[phases])
+        else:
+            assert spec._phase_table is None
+            rows = spec.phase_rows(phases)
+            full = fd.effective_phase_table(spec.sinc_table, spec.filt_len,
+                                            spec.oversample, spec.den)
+            assert np.array_equal(rows, full[phases])
+
+
+def test_lazy_tables_small_den_materialize_once():
+    """Below the cutover the accessors materialize-and-cache (dense paths
+    want the whole table anyway) and return identical rows."""
+    spec = fd.design_filter(147, 160, 5)
+    phases = np.array([0, 159, 80, 80], dtype=np.int64)
+    r = spec.phase_rows(phases)
+    assert spec._phase_table is not None
+    assert np.array_equal(r, spec.phase_table[phases])
+
+
 def test_padded_weights_layout():
     spec = fd.design_filter(147, 160, 7)
     for group in (1, 2):
