@@ -30,6 +30,7 @@ import math
 import os
 import subprocess
 import sys
+import threading
 import time
 from pathlib import Path
 
@@ -78,6 +79,30 @@ _BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1000"))
 
 def _time_left() -> float:
     return _BUDGET_S - (time.monotonic() - _T0)
+
+
+# Hard watchdog: the in-line budget checks can only run between sections —
+# a wedged device tunnel blocks the main thread INSIDE a native PJRT call
+# (observed: backend init hanging >15 min with the relay down), where
+# neither the checks nor signal handlers ever run.  A daemon thread that
+# emits the error JSON and _exits guarantees the driver records a line no
+# matter where the main thread is stuck.
+_EMITTED = threading.Event()
+
+
+def _hard_watchdog() -> None:
+    if _EMITTED.wait(timeout=_BUDGET_S + 120):
+        return
+    print(json.dumps({
+        "metric": "bench failed", "value": 0, "unit": "samples/sec",
+        "vs_baseline": 0.0,
+        "extra": {"error": "hard watchdog: main thread stuck past "
+                           "budget+grace (wedged device tunnel?)"}}),
+        flush=True)
+    os._exit(0)
+
+
+threading.Thread(target=_hard_watchdog, daemon=True).start()
 
 
 def _note(msg: str) -> None:
@@ -468,6 +493,7 @@ def main():
             "on_chip_shardmap": shardmap_res,
         },
     }
+    _EMITTED.set()
     print(json.dumps(result))
 
 
@@ -477,6 +503,7 @@ if __name__ == "__main__":
     except Exception as exc:  # emit SOMETHING the driver can record
         import traceback
         traceback.print_exc()
+        _EMITTED.set()
         print(json.dumps({
             "metric": "bench failed", "value": 0, "unit": "samples/sec",
             "vs_baseline": 0.0, "extra": {"error": repr(exc)}}))
