@@ -91,9 +91,27 @@ def _cap_frames(n, ir, orr, q):
     return int(max(400, min(n, budget / max(cost_per_in, 1e-9))))
 
 
+def _check_both_reject(cfg, exc, run_ours):
+    """The reference CAN reject a mid-stream switch: multiply_frac's uint32
+    guard fails rescaling samp_frac_num when the new reduced den is huge
+    (resample.c:593-603, :1134) and cmd_setrate/cmd_caps die on it.  Parity
+    then means OUR switch must raise too (the JS wrapper would throw)."""
+    msg = (exc.stderr or b"").decode(errors="replace").strip()
+    if "set_rate failed" not in msg and "set_quality failed" not in msg:
+        raise exc  # any other oracle death is a harness bug — surface it
+    try:
+        run_ours()
+    except ResamplerError:
+        return cfg, True, ""
+    return cfg, False, f"oracle rejected switch ({msg}) but ours accepted"
+
+
 def _lsb_check(ours, golden, max_rate=5e-3):
-    """Float-universe bound: max |err| <= 1 LSB, tie rate small.
-    Returns (ok, detail)."""
+    """Float-universe bound: max |err| <= 1 LSB, tie rate small.  The rate
+    check is Poisson-aware (mean + 4 sigma + 2) — the measured per-sample
+    tie probability sits at 1e-3..4e-3 across filter lengths, so short
+    draws (hundreds of outputs) routinely fluctuate past a bare 5e-3
+    threshold with zero systematic divergence.  Returns (ok, detail)."""
     if ours.size != golden.size:
         return False, f"size {ours.size} vs {golden.size}"
     if ours.size == 0:
@@ -101,9 +119,12 @@ def _lsb_check(ours, golden, max_rate=5e-3):
     d = np.abs(ours.astype(np.int32) - golden.astype(np.int32))
     if d.max() > 1:
         return False, f"max|err|={int(d.max())}"
-    rate = float((d > 0).mean())
-    if rate > max_rate:
-        return False, f"tie rate {rate:.2e}"
+    ties = int((d > 0).sum())
+    lam = max_rate * d.size
+    limit = lam + 4.0 * math.sqrt(lam * (1.0 - max_rate)) + 2.0
+    if ties > limit:
+        return False, (f"{ties} ties over {d.size} exceeds Poisson "
+                       f"bound {limit:.1f} at p={max_rate:g}")
     return True, ""
 
 
@@ -217,8 +238,13 @@ def _iter_caps(rng, tmp, fixed):
                use_float=use_float, sched=sched, switch=switch, n=n)
     pcm = rng.integers(-32768, 32768, size=n * ch).astype(np.int16)
     oracle_bin = ORACLE_FIXED if fixed else ORACLE
-    golden = _oracle_caps(oracle_bin, tmp, pcm, ch, ir, orr, q,
-                          use_float, sched, switch)
+    try:
+        golden = _oracle_caps(oracle_bin, tmp, pcm, ch, ir, orr, q,
+                              use_float, sched, switch)
+    except subprocess.CalledProcessError as e:
+        return _check_both_reject(
+            cfg, e, lambda: _ours_caps(pcm, ch, ir, orr, q, use_float,
+                                       sched, switch, fixed=fixed))
     ours = _ours_caps(pcm, ch, ir, orr, q, use_float, sched, switch,
                       fixed=fixed)
     try:
@@ -293,8 +319,13 @@ def _iter_setrate(rng, tmp, fixed):
     cfg = dict(mode="setrate", fixed=fixed, ch=ch, cfg0=cfg0, cfg1=cfg1,
                chunk_frames=chunk_frames, switch_chunk=switch_chunk, n=n)
     oracle_bin = ORACLE_FIXED if fixed else ORACLE
-    golden = _oracle_setrate(oracle_bin, tmp, frames.tobytes(), ch, cfg0,
-                             chunk_frames, switch_chunk, cfg1)
+    try:
+        golden = _oracle_setrate(oracle_bin, tmp, frames.tobytes(), ch,
+                                 cfg0, chunk_frames, switch_chunk, cfg1)
+    except subprocess.CalledProcessError as e:
+        return _check_both_reject(
+            cfg, e, lambda: _ours_setrate(frames, ch, cfg0, chunk_frames,
+                                          switch_chunk, cfg1, fixed))
     ours = _ours_setrate(frames, ch, cfg0, chunk_frames, switch_chunk,
                          cfg1, fixed)
     # magic-drain timing vs capacity may shift <=2 boundary frames between

@@ -401,7 +401,6 @@ class ResamplerCore:
                                              out_float=True)
 
     def _process_interleaved_any(self, frames, out_capacity, *, out_float):
-        self.started = True
         if frames.ndim != 2 or frames.shape[1] != self.nb_channels:
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
         if not self._channels_in_lockstep():
@@ -422,7 +421,6 @@ class ResamplerCore:
         ``samples`` is read at every in_stride-th position; output is
         written at every out_stride-th position of the returned buffer
         (gaps zero-filled)."""
-        self.started = True
         x = np.ascontiguousarray(
             np.asarray(samples, dtype=np.int16)[::self.in_stride])[None, :]
         y = self._process(x, [c], out_capacity)[0]
@@ -431,7 +429,6 @@ class ResamplerCore:
     def process_channel_float(self, c: int, samples: np.ndarray,
                               out_capacity: int) -> np.ndarray:
         """speex_resampler_process_float (resample.c:924-963) semantics."""
-        self.started = True
         x = np.ascontiguousarray(
             np.asarray(samples, dtype=np.float32)[::self.in_stride])[None, :]
         y = self._process(x, [c], out_capacity, out_float=True)[0]
@@ -454,6 +451,17 @@ class ResamplerCore:
         N = spec.filt_len
         outs = []
         odt = np.float32 if out_float else np.int16
+
+        # C flips ``started`` only inside process_native (resample.c:886),
+        # which never runs when the input length or output capacity is
+        # zero (the while(ilen && olen) gates, :941/:989).  An unstarted
+        # resampler that only ever saw empty/capacity-0 calls must KEEP
+        # zeroing its memory on the next filter change instead of stashing
+        # magic samples — observable in consumed-input accounting after a
+        # set_rate/set_quality (magic>0 implies started, so the magic-drain
+        # native calls never flip it first).
+        if x.shape[1] > 0 and out_capacity > 0:
+            self.started = True
 
         # Derive the exact (produced, consumed) split for the magic drain
         # and the fresh chunk by walking the reference's per-call loops

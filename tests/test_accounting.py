@@ -117,6 +117,16 @@ _CASES = [
     # the post-switch bite EXCEEDS 160 frames (resample.c:709-720)
     ("magic-shrink-xlen", 1, 48000, 44100, 9, 9000,
      [(700, 100), (700, 12), (700, 10**6)], (2, 48000, 44100, 1)),
+    # started gate: C flips ``started`` only inside process_native
+    # (resample.c:886), which a capacity-0 call never reaches (the
+    # while(ilen && olen) gates, :941/:989) — so a rate+quality switch
+    # after only capacity-0 calls must ZERO the memory (resample.c:721-726)
+    # instead of stashing magic samples from the never-started history.
+    # Caught by differential fuzzing (seed 31): an eager started flag
+    # produced 1 output from phantom magic with consumed=0 vs C's 4.
+    ("unstarted-switch", 1, 98325, 16000, 9, 400,
+     [(160, 0), (1024, 1), (1023, 173), (1023, 166), (161, 0)],
+     (1, 96000, 22141, 10)),
 ]
 
 
@@ -187,3 +197,33 @@ def test_caps_accounting_random(oracle, oracle_fixed, tmp_path, use_float,
         _compare(golden, ours, fixed=fixed, use_float=use_float,
                  label=f"draw{draw} {ir}->{orr} q{q} sched={sched} "
                        f"switch={switch}")
+
+
+def test_oracle_rejected_switch_parity(oracle, tmp_path):
+    """The reference can REJECT a mid-stream rate switch: rescaling
+    samp_frac_num runs through multiply_frac's uint32 overflow guard
+    (resample.c:593-603, applied at :1134), which fails when
+    samp_frac_num > UINT32_MAX / new_reduced_den.  Parity means our
+    set_rate must raise on exactly the same call (the JS wrapper would
+    turn the non-zero return into a throw).  Found by differential
+    fuzzing (seed 31): 44483->44100 q2, one 1704-frame chunk
+    (samp_frac_num = 29870), then set_rate(98607, 163246) with reduced
+    den 163246 > UINT32_MAX / 29870."""
+    from speex_resampler_tpu.utils.errors import ResamplerError
+
+    inp = tmp_path / "in.pcm"
+    rng = np.random.default_rng(7)
+    frames = rng.integers(-32768, 32768, size=(4000, 1)).astype(np.int16)
+    frames.tofile(inp)
+    p = subprocess.run(
+        [str(oracle), "setrate", "1", "44483", "44100", "2", "1704",
+         str(inp), str(tmp_path / "out.pcm"), "1", "98607", "163246", "2"],
+        capture_output=True)
+    assert p.returncode != 0 and b"set_rate failed" in p.stderr, (
+        p.returncode, p.stderr)
+
+    core = ResamplerCore(1, 44483, 44100, 44483, 44100, 2)
+    core.process_interleaved(frames[:1704], 10**6)
+    assert int(core.samp_frac_num[0]) == 29870  # pin the trigger state
+    with pytest.raises(ResamplerError):
+        core.set_rate(98607, 163246)
