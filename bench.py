@@ -85,24 +85,43 @@ def _time_left() -> float:
 # a wedged device tunnel blocks the main thread INSIDE a native PJRT call
 # (observed: backend init hanging >15 min with the relay down), where
 # neither the checks nor signal handlers ever run.  A daemon thread that
-# emits the error JSON and _exits guarantees the driver records a line no
-# matter where the main thread is stuck.
-_EMITTED = threading.Event()
+# emits a JSON line and _exits guarantees the driver records SOMETHING no
+# matter where the main thread is stuck — and it emits the partial result
+# (every section measured so far) rather than discarding completed work.
+# Armed only under __main__ so `import bench` never plants a process
+# killer in the importing host.
+_DONE = threading.Event()
+_EMIT_LOCK = threading.Lock()
+_EMIT_FIRED = False
+# main() builds its result here progressively; the watchdog snapshots it
+_PARTIAL: dict = {}
+
+
+def _emit(payload: dict) -> None:
+    """Print exactly ONE stdout JSON line process-wide (driver contract),
+    whichever of main/watchdog gets here first."""
+    global _EMIT_FIRED
+    with _EMIT_LOCK:
+        if _EMIT_FIRED:
+            return
+        _EMIT_FIRED = True
+        print(json.dumps(payload), flush=True)
 
 
 def _hard_watchdog() -> None:
-    if _EMITTED.wait(timeout=_BUDGET_S + 120):
+    if _DONE.wait(timeout=_BUDGET_S + 120):
         return
-    print(json.dumps({
-        "metric": "bench failed", "value": 0, "unit": "samples/sec",
-        "vs_baseline": 0.0,
-        "extra": {"error": "hard watchdog: main thread stuck past "
-                           "budget+grace (wedged device tunnel?)"}}),
-        flush=True)
+    err = ("hard watchdog: main thread stuck past budget+grace "
+           "(wedged device tunnel?); emitting sections completed so far")
+    if _PARTIAL.get("value"):
+        payload = dict(_PARTIAL)
+        payload["extra"] = dict(payload.get("extra", {}), watchdog=err)
+    else:
+        payload = {
+            "metric": "bench failed", "value": 0, "unit": "samples/sec",
+            "vs_baseline": 0.0, "extra": {"error": err}}
+    _emit(payload)
     os._exit(0)
-
-
-threading.Thread(target=_hard_watchdog, daemon=True).start()
 
 
 def _note(msg: str) -> None:
@@ -376,24 +395,60 @@ def main():
     flag = measure_config(*FLAGSHIP, use_pallas=use_pallas, n_slopes=5)
     device_sps = flag["out_samples_per_sec"]
 
+    # Seed the progressive artifact the watchdog snapshots: from here on a
+    # section that wedges the tunnel costs only its OWN keys, never the
+    # sections already measured.
+    extra = {
+        "backend": backend,
+        "device_kind": jax.devices()[0].device_kind,
+        "kernel": flag["kernel"],
+        "scheme": flag["scheme"],
+        "launch_ms": flag["launch_ms"],
+        "launch_ms_best": flag["launch_ms_best"],
+        "launch_ms_spread": flag["launch_ms_spread"],
+        "out_samples_per_sec_best": flag["out_samples_per_sec_best"],
+        "launch_ms_runs": flag["launch_ms_runs"],
+        "input_samples_per_sec": flag["in_samples_per_sec"],
+        "vs_reference_cpu": None,
+        "reference_cpu_out_samples_per_sec": None,
+        "e2e_samples_per_sec_via_tunnel": None,
+        "streams": N_STREAMS, "channels": CHANNELS,
+        "in_frames_per_launch": flag["in_frames_per_launch"],
+        "out_frames_per_launch": flag["out_frames_per_launch"],
+        "sweep": {}, "fixed_point_universe": {},
+        "stager": {"skipped": "not reached"},
+        "fleet_e2e": {"skipped": "not reached"},
+        "fleet_e2e_fixed": {"skipped": "not reached"},
+        "on_chip_shardmap": {"skipped": "not reached"},
+    }
+    _PARTIAL.update({
+        "metric": "output samples/sec, batched q7 44.1k->48k stereo "
+                  f"({N_STREAMS} streams, device-resident steady state)",
+        "value": device_sps,
+        "unit": "samples/sec",
+        "vs_baseline": round(device_sps / 1e9, 3),
+        "extra": extra,
+    })
+
     # the round-3 headline artifact: run it FIRST among the optional
     # sections so a budget squeeze can never drop it
     _note("on-chip shardmap check")
-    shardmap_res = (shardmap_onchip_check() if use_pallas
-                    else {"skipped": "no TPU backend"})
+    extra["on_chip_shardmap"] = (shardmap_onchip_check() if use_pallas
+                                 else {"skipped": "no TPU backend"})
 
     # host-path + fixed e2e BEFORE the sweep: driver-visible host numbers
     # outrank a third sweep row if the budget squeezes
     _note("fleet e2e")
-    fleet_res = (fleet_e2e() if _time_left() > 120
-                 else {"skipped": "time budget"})
+    extra["fleet_e2e"] = (fleet_e2e() if _time_left() > 120
+                          else {"skipped": "time budget"})
     _note("fleet e2e fixed")
-    fleet_fixed_res = (fleet_e2e(fixed_point=True) if _time_left() > 100
-                       else {"skipped": "time budget"})
+    extra["fleet_e2e_fixed"] = (fleet_e2e(fixed_point=True)
+                                if _time_left() > 100
+                                else {"skipped": "time budget"})
 
     # FIXED_POINT universe (bit-exact Q15, scheme "fixed": exact int8-plane
     # MXU passes) — the flagship and the fastest direct-path family
-    fixed = {}
+    fixed = extra["fixed_point_universe"]
     for (ir, orate, q) in [FLAGSHIP, (24000, 48000, 5)]:
         if _time_left() < 240:
             fixed[f"{ir}->{orate} q{q}"] = {"skipped": "time budget"}
@@ -413,7 +468,7 @@ def main():
                   / ref["out_samples_per_sec"], 1)
             if "out_samples_per_sec" in ref else None)}
 
-    sweep = {}
+    sweep = extra["sweep"]
     for (ir, orate, q) in SWEEP:
         if _time_left() < 240:
             sweep[f"{ir}->{orate} q{q}"] = {"skipped": "time budget"}
@@ -434,6 +489,13 @@ def main():
 
     ref_flag = (oracle_cpu_baseline(*FLAGSHIP)
                 if _time_left() > 30 else {"skipped": "time budget"})
+    if "out_samples_per_sec" in ref_flag:
+        extra["vs_reference_cpu"] = round(
+            device_sps / ref_flag["out_samples_per_sec"])
+        extra["reference_cpu_out_samples_per_sec"] = ref_flag[
+            "out_samples_per_sec"]
+    extra["stager"] = (stager_bench() if _time_left() > 45
+                       else {"skipped": "time budget"})
 
     # end-to-end through the public engine (host staging + transfers);
     # budget-gated and iteration-adaptive — tunnel contention can stretch
@@ -457,54 +519,26 @@ def main():
             e2e_sps = round(produced / (time.perf_counter() - t0))
         except Exception as exc:
             e2e_sps = repr(exc)
+    extra["e2e_samples_per_sec_via_tunnel"] = e2e_sps
 
-    result = {
-        "metric": "output samples/sec, batched q7 44.1k->48k stereo "
-                  f"({N_STREAMS} streams, device-resident steady state)",
-        "value": device_sps,
-        "unit": "samples/sec",
-        "vs_baseline": round(device_sps / 1e9, 3),
-        "extra": {
-            "backend": backend,
-            "device_kind": jax.devices()[0].device_kind,
-            "kernel": flag["kernel"],
-            "scheme": flag["scheme"],
-            "launch_ms": flag["launch_ms"],
-            "launch_ms_best": flag["launch_ms_best"],
-            "launch_ms_spread": flag["launch_ms_spread"],
-            "out_samples_per_sec_best": flag["out_samples_per_sec_best"],
-            "launch_ms_runs": flag["launch_ms_runs"],
-            "input_samples_per_sec": flag["in_samples_per_sec"],
-            "vs_reference_cpu": (
-                round(device_sps / ref_flag["out_samples_per_sec"])
-                if "out_samples_per_sec" in ref_flag else None),
-            "reference_cpu_out_samples_per_sec": ref_flag.get(
-                "out_samples_per_sec"),
-            "e2e_samples_per_sec_via_tunnel": e2e_sps,
-            "streams": N_STREAMS, "channels": CHANNELS,
-            "in_frames_per_launch": flag["in_frames_per_launch"],
-            "out_frames_per_launch": flag["out_frames_per_launch"],
-            "sweep": sweep,
-            "fixed_point_universe": fixed,
-            "stager": (stager_bench() if _time_left() > 45
-                       else {"skipped": "time budget"}),
-            "fleet_e2e": fleet_res,
-            "fleet_e2e_fixed": fleet_fixed_res,
-            "on_chip_shardmap": shardmap_res,
-        },
-    }
-    _EMITTED.set()
-    print(json.dumps(result))
+    _DONE.set()
+    _emit(_PARTIAL)
 
 
 if __name__ == "__main__":
+    threading.Thread(target=_hard_watchdog, daemon=True).start()
     try:
         sys.exit(main())
     except Exception as exc:  # emit SOMETHING the driver can record
         import traceback
         traceback.print_exc()
-        _EMITTED.set()
-        print(json.dumps({
-            "metric": "bench failed", "value": 0, "unit": "samples/sec",
-            "vs_baseline": 0.0, "extra": {"error": repr(exc)}}))
+        _DONE.set()
+        if _PARTIAL.get("value"):  # keep sections measured before the crash
+            _PARTIAL["extra"] = dict(_PARTIAL.get("extra", {}),
+                                     error=repr(exc))
+            _emit(_PARTIAL)
+        else:
+            _emit({"metric": "bench failed", "value": 0,
+                   "unit": "samples/sec", "vs_baseline": 0.0,
+                   "extra": {"error": repr(exc)}})
         sys.exit(0)

@@ -46,7 +46,7 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO / "tests"))
 sys.path.insert(0, str(REPO))
 
-from conftest import ORACLE, ORACLE_FIXED, _build_oracle  # noqa: E402
+from conftest import ORACLE, ORACLE_FIXED, _build_oracle, lsb_tie_limit  # noqa: E402
 
 # Persistent compile cache: wild-ratio draws are compile-dominated on CPU
 # (fresh filter geometry per draw); identical geometries recur within a
@@ -108,10 +108,9 @@ def _check_both_reject(cfg, exc, run_ours):
 
 def _lsb_check(ours, golden, max_rate=5e-3):
     """Float-universe bound: max |err| <= 1 LSB, tie rate small.  The rate
-    check is Poisson-aware (mean + 4 sigma + 2) — the measured per-sample
-    tie probability sits at 1e-3..4e-3 across filter lengths, so short
-    draws (hundreds of outputs) routinely fluctuate past a bare 5e-3
-    threshold with zero systematic divergence.  Returns (ok, detail)."""
+    bound is conftest.lsb_tie_limit — the SAME definition CI asserts, so
+    campaign and suite verdicts can never disagree on a draw.  Returns
+    (ok, detail)."""
     if ours.size != golden.size:
         return False, f"size {ours.size} vs {golden.size}"
     if ours.size == 0:
@@ -120,8 +119,7 @@ def _lsb_check(ours, golden, max_rate=5e-3):
     if d.max() > 1:
         return False, f"max|err|={int(d.max())}"
     ties = int((d > 0).sum())
-    lam = max_rate * d.size
-    limit = lam + 4.0 * math.sqrt(lam * (1.0 - max_rate)) + 2.0
+    limit = lsb_tie_limit(d.size, max_rate)
     if ties > limit:
         return False, (f"{ties} ties over {d.size} exceeds Poisson "
                        f"bound {limit:.1f} at p={max_rate:g}")

@@ -356,8 +356,14 @@ class ResamplerCore:
         self.set_rate_frac(int(state["num"]), int(state["den"]),
                            int(state["in_rate"]), int(state["out_rate"]))
         self.started = bool(state["started"])
-        self._mem_alloc_size = max(self._mem_alloc_size,
-                                   int(state.get("mem_alloc_size", 0)))
+        # Restore the donor's high-water mark EXACTLY: xlen (the process
+        # loops' input bite) is mem_alloc_size - (filt_len-1), so keeping a
+        # larger local value would desync capacity-bound consumed-input
+        # accounting from the snapshotted stream.  (The saved value is >=
+        # this config's requirement by construction; snapshots predating
+        # the key fall back to this core's own mark.)
+        self._mem_alloc_size = int(state.get("mem_alloc_size",
+                                             self._mem_alloc_size))
         self.in_stride = int(state["in_stride"])
         self.out_stride = int(state["out_stride"])
         self.last_sample[:] = state["last_sample"]
@@ -399,6 +405,54 @@ class ResamplerCore:
         frames = np.ascontiguousarray(frames, dtype=np.float32)
         return self._process_interleaved_any(frames, out_capacity,
                                              out_float=True)
+
+    def process_native_interleaved(self, frames: np.ndarray,
+                                   out_capacity: int) -> np.ndarray:
+        """Drive the engine through ONE magic drain + ONE native call —
+        the speex_resampler_magic / process_native layer itself
+        (resample.c:904-922, :878-902) — bypassing the public entry
+        points' bite/ystack quantization (:929-1035).
+
+        Not a reference entry point.  The staging entry (the float
+        build's process_int) runs everything inside ``while (ilen &&
+        olen)`` and therefore cannot drain pending magic samples when no
+        fresh input is offered; consumption is also bite-quantized when
+        the output capacity binds.  The MultiFleet rate-switch transition
+        needs neither quirk — it requires the closed-form native
+        consumption ``consumed = min(ls_after, n_in)`` so its retained-
+        input bookkeeping composes — so it talks to the native layer
+        directly.  Output VALUES are identical to the per-bite walk:
+        produced counts and per-output dot products match exactly.
+
+        frames: int16 [n_frames, C] → int16 [n_out, C] (WORD2INT in the
+        float universe, native int16 in the fixed universe — the same
+        output conversion as process_interleaved)."""
+        frames = np.ascontiguousarray(frames, dtype=np.int16)
+        if frames.ndim != 2 or frames.shape[1] != self.nb_channels:
+            raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
+        assert self._channels_in_lockstep()
+        spec = self._spec
+        x = np.ascontiguousarray(frames.T)  # [C, n]
+        chans = list(range(self.nb_channels))
+        ls = int(self.last_sample[0])
+        f = int(self.samp_frac_num[0])
+        n_magic = int(self.magic_samples[0])
+        cap = int(out_capacity)
+
+        m_out, m_cons, ls, f = ph.native_step(n_magic, cap, ls, f,
+                                              spec.num, spec.den)
+        f_out = f_cons = 0
+        # fresh input runs only once the stash fully drained (the
+        # !st->magic_samples gate, resample.c:940) — with an unbound
+        # capacity one magic step always fully consumes (ls_after >= n).
+        if n_magic - m_cons == 0:
+            f_out, f_cons, ls, f = ph.native_step(
+                x.shape[1], cap - m_out, ls, f, spec.num, spec.den)
+        if n_magic > 0 or (x.shape[1] > 0 and cap > 0):
+            self.started = True  # process_native ran (resample.c:886)
+        acct = ph.ProcessAccounting(m_out, m_cons, f_out, f_cons)
+        y = self._run_acct(x, chans, acct, n_magic, out_float=False)
+        return np.ascontiguousarray(y.T)
 
     def _process_interleaved_any(self, frames, out_capacity, *, out_float):
         if frames.ndim != 2 or frames.shape[1] != self.nb_channels:
@@ -449,8 +503,6 @@ class ResamplerCore:
         c0 = chans[0]
         spec = self._spec
         N = spec.filt_len
-        outs = []
-        odt = np.float32 if out_float else np.int16
 
         # C flips ``started`` only inside process_native (resample.c:886),
         # which never runs when the input length or output capacity is
@@ -477,6 +529,18 @@ class ResamplerCore:
             spec.num, spec.den,
             xlen=self._mem_alloc_size - (N - 1),
             ystack=(out_float == self.fixed_point))
+        return self._run_acct(x, chans, acct, n_magic, out_float=out_float)
+
+    def _run_acct(self, x: np.ndarray, chans: list[int],
+                  acct: "ph.ProcessAccounting", n_magic: int, *,
+                  out_float: bool) -> np.ndarray:
+        """Execute a pre-derived (produced, consumed) split: the magic-drain
+        launch then the fresh-chunk launch, with exact state/history/pending
+        updates.  ``acct`` comes either from ph.process_accounting (the
+        entry-point bite/ystack walk) or from direct native-call bookkeeping
+        (process_native_interleaved)."""
+        outs = []
+        odt = np.float32 if out_float else np.int16
         self.last_accounting = acct  # introspection for differential tests
 
         # Phase A — drain pending magic samples (resample.c:904-922, :938-940)

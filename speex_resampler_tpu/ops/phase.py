@@ -28,6 +28,7 @@ __all__ = [
     "producible_outputs",
     "advance",
     "ProcessAccounting",
+    "native_step",
     "process_accounting",
     "block_constants",
     "build_padded_weights",
@@ -74,6 +75,12 @@ def _native_step(n_in: int, o_bound: int, ls: int, f: int, num: int,
     la, fa = advance(o, ls, f, num, den)
     cons = min(la, n_in)  # the in_len clamp, resample.c:891-892
     return o, cons, la - cons, fa
+
+
+#: Public alias — one process_native call's exact bookkeeping, used by
+#: ResamplerCore.process_native_interleaved (which bypasses the entry-point
+#: bite/ystack quantization) and by differential tests.
+native_step = _native_step
 
 
 def process_accounting(n_magic: int, n_new: int, cap: int, ls0: int,

@@ -82,8 +82,13 @@ class _Transition:
         return self.pump()
 
     def finish(self) -> list[np.ndarray]:
-        """End-of-stream: drain everything through the core exactly."""
-        out = self.core.process_interleaved(self.buf, _BIG)
+        """End-of-stream: drain everything through the core exactly.
+
+        Through the NATIVE layer, not a public entry point: the staging
+        entry (float build's process_int) processes nothing — not even
+        pending magic samples — when ``buf`` is empty, which would strand
+        the magic tail past a chained rate switch."""
+        out = self.core.process_native_interleaved(self.buf, _BIG)
         self.buf = np.zeros((0, self.C), dtype=np.int16)
         self.done = True
         self.hist = self.staged_rest = None
@@ -126,7 +131,11 @@ class _Transition:
             # strictly below in_len), may exceed what the core consumes
             origin_last = ls + (f + (m_out - 1) * num) // den
             n_give = max(0, origin_last + 1 - m_cnt)
-            y = c.process_interleaved(self.buf[:n_give], m_out)
+            # NATIVE layer: the staging entry would process nothing when
+            # n_give == 0 (magic alone covers the windows), and its
+            # capacity-bound bite quantization would break the closed-form
+            # consumed_virtual below; native consumption composes exactly.
+            y = c.process_native_interleaved(self.buf[:n_give], m_out)
             assert y.shape[0] == m_out, (y.shape, m_out)
             outs.append(y)
             consumed_virtual = min(n_give + m_cnt,

@@ -110,6 +110,14 @@ def oracle_process(oracle_bin, tmp_path, pcm_bytes, channels, in_rate,
     return np.fromfile(outp, dtype=np.int16)
 
 
+def lsb_tie_limit(n: int, max_mismatch_rate: float = 5e-3) -> float:
+    """The Poisson-aware tie-count bound (mean + 4 sigma + 2) shared by
+    assert_lsb_close and the standalone fuzz campaign — one definition so
+    CI and campaign verdicts can never disagree on the same draw."""
+    lam = max_mismatch_rate * n
+    return lam + 4.0 * float(np.sqrt(lam * (1.0 - max_mismatch_rate))) + 2.0
+
+
 def assert_lsb_close(ours: np.ndarray, golden: np.ndarray,
                      max_mismatch_rate: float = 5e-3):
     """Assert the BASELINE acceptance bound: max |err| <= 1 LSB, and only a
@@ -130,8 +138,7 @@ def assert_lsb_close(ours: np.ndarray, golden: np.ndarray,
     assert d.max() <= 1, f"max|err|={d.max()} exceeds 1 LSB"
     n = d.size
     ties = int((d > 0).sum())
-    lam = max_mismatch_rate * n
-    limit = lam + 4.0 * np.sqrt(lam * (1.0 - max_mismatch_rate)) + 2.0
+    limit = lsb_tie_limit(n, max_mismatch_rate)
     assert ties <= limit, (
         f"{ties} ties over {n} samples exceeds Poisson bound "
         f"{limit:.1f} at p={max_mismatch_rate:g}")

@@ -44,6 +44,34 @@ def test_core_checkpoint_roundtrip():
     assert np.array_equal(resumed, full)
 
 
+def test_core_checkpoint_restores_mem_alloc_high_water():
+    """A restore must adopt the donor's mem_alloc_size EXACTLY — keeping a
+    larger local high-water mark changes xlen (the process loops' input
+    bite) and desyncs capacity-bound consumed-input accounting from the
+    snapshotted stream.  Regression: load_state_dict used max(local,
+    saved)."""
+    rng = np.random.default_rng(9)
+    x = (rng.integers(-32768, 32768, size=(4000, 1)) // 2).astype(np.int16)
+
+    donor = ResamplerCore(1, 44100, 48000, 44100, 48000, 3)
+    donor.process_interleaved(x[:1000], 10 ** 9)
+    blob = pickle.dumps(donor.state_dict())
+
+    # host core first ran at q10: its own high-water mark exceeds q3's
+    host = ResamplerCore(1, 44100, 48000, 44100, 48000, 10)
+    host.process_interleaved(x[:500], 10 ** 9)
+    assert host._mem_alloc_size > donor._mem_alloc_size
+    host.load_state_dict(pickle.loads(blob))
+    assert host._mem_alloc_size == donor._mem_alloc_size
+
+    # capacity-bound bite quantization must now match the donor exactly
+    for chunk in _chunks(x[1000:], [700, 900]):
+        yd = donor.process_interleaved(chunk, 37)
+        yh = host.process_interleaved(chunk, 37)
+        assert np.array_equal(yd, yh)
+        assert donor.last_accounting == host.last_accounting
+
+
 def test_core_checkpoint_after_rate_switch():
     """Snapshot taken while magic samples are pending must survive."""
     rng = np.random.default_rng(1)

@@ -411,6 +411,62 @@ def test_multifleet_set_stream_rate_fixed_oracle(oracle_fixed, tmp_path):
     assert np.array_equal(got[:m], want[:m])
 
 
+def test_multifleet_switch_magic_covers_windows():
+    """A q10→q0 switch right after a sub-quantum push leaves the transition
+    with a magic stash whose windows cover all of its first outputs
+    (``n_give == 0``) and ``end_stream`` must then drain the stash with NO
+    further input.  Both require the core's NATIVE layer: the staging
+    entry (the float build's process_int) processes nothing — not even
+    magic — on an empty-input call.  Regression: pump() died on its own
+    assert; finish() silently stranded the magic tail.
+
+    Reference anchor (non-circular): the float-sample entry is the float
+    build's NATIVE-word entry (resample.c:924-963) and drains magic on an
+    empty-input call; its outputs pass through the same accumulators, so
+    WORD2INT(float entry) == int path bit-for-bit."""
+    from speex_resampler_tpu.ops.convert import word2int
+
+    rng = np.random.default_rng(21)
+    x = rng.integers(-20000, 20000, size=(300, 1)).astype(np.int16)
+    mf = MultiFleet(channels=1, capacity_per_bucket=2,
+                    target_chunk_frames=512, use_pallas=False)
+    mf.add_stream("s", 44100, 48000, 10)
+    mf.push("s", x)
+    mf.set_stream_rate("s", 44100, 48000, 0)  # q10 filt_len -> big magic
+    mf.end_stream("s")                        # drain with an empty buffer
+    mf.flush()
+    got = mf.pull("s")
+
+    core = ResamplerCore(1, 147, 160, 44100, 48000, 10)
+    p1 = core.process_interleaved(x, 10 ** 9)
+    core.set_quality(0)
+    empty = np.zeros((0, 1), dtype=np.float32)
+    p2 = np.asarray(word2int(
+        core.process_interleaved_float(empty, 10 ** 9)))
+    assert p2.shape[0] > 0          # the stash really does render outputs
+    assert int(core.magic_samples[0]) == 0
+    ref = np.concatenate([p1, p2])
+    m = min(got.shape[0], ref.shape[0])
+    assert abs(got.shape[0] - ref.shape[0]) <= 1, (got.shape, ref.shape)
+    assert_lsb_close(got[:m].ravel(), ref[:m].ravel())
+
+
+def test_process_native_interleaved_matches_entry():
+    """The native-layer interface must agree with the public int entry on
+    any call the entry CAN express (non-binding capacity, fresh input):
+    same outputs, same state evolution."""
+    rng = np.random.default_rng(5)
+    x = rng.integers(-20000, 20000, size=(1500, 2)).astype(np.int16)
+    a = ResamplerCore(2, 147, 160, 44100, 48000, 7)
+    b = ResamplerCore(2, 147, 160, 44100, 48000, 7)
+    for lo in range(0, 1500, 300):
+        ya = a.process_interleaved(x[lo:lo + 300], 10 ** 9)
+        yb = b.process_native_interleaved(x[lo:lo + 300], 10 ** 9)
+        np.testing.assert_array_equal(ya, yb)
+    assert a.state_dict()["last_sample"].tolist() == \
+        b.state_dict()["last_sample"].tolist()
+
+
 def test_multifleet_chained_rate_switch_mid_transition():
     """Switching again while a transition is live must not drop the frames
     the old transition retained: they were pushed under the intermediate
