@@ -190,15 +190,31 @@ def _hist_rows_tiled(filt_len: int) -> int:
 
 
 def _tiled_weights(spec: fd.FilterSpec, f0: int = 0, component: int = 0):
-    H = _hist_rows_tiled(spec.filt_len)
-    pt = spec.phase_table
-    if spec.fixed_point and not spec.use_direct:
-        # fixed interpolate carries 4 accumulator tap planes; any component
-        # yields the same geometry (offsets/S/K depend on shapes only)
-        pt = spec.interp_taps[:, component, :]
-    return ph.build_phase_tiled_weights(
-        pt, spec.num, spec.den, f0,
-        origin_shift=H - (spec.filt_len - 1))
+    """Phase-tiled weight tables, cached ON the spec (FilterSpec is not
+    hashable — ndarray fields — so this mirrors its lazy-table pattern).
+    The geometry probe, make_batched_step, and the capped re-quantize all
+    need the same table; without the cache a near-256 MB streamed table
+    would be rebuilt 2-4x per engine construction.  Bounded at 4 entries
+    (serving rebuilds at a handful of f0s after skip_zeros/flush)."""
+    cache = getattr(spec, "_ptw_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(spec, "_ptw_cache", cache)
+    key = (f0, component)
+    if key not in cache:
+        if len(cache) >= 4:
+            cache.pop(next(iter(cache)))
+        H = _hist_rows_tiled(spec.filt_len)
+        pt = spec.phase_table
+        if spec.fixed_point and not spec.use_direct:
+            # fixed interpolate carries 4 accumulator tap planes; any
+            # component yields the same geometry (offsets/S/K depend on
+            # shapes only)
+            pt = spec.interp_taps[:, component, :]
+        cache[key] = ph.build_phase_tiled_weights(
+            pt, spec.num, spec.den, f0,
+            origin_shift=H - (spec.filt_len - 1))
+    return cache[key]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -230,6 +246,24 @@ def _fixed_coef(spec: fd.FilterSpec, f0: int, P: int, R: int) -> np.ndarray:
         ph_idx = (f0 + (m * R + r) * spec.num) % spec.den
         coef[m] = spec.interp_coef[ph_idx].T
     return coef
+
+
+def _gather_blocks(spec: fd.FilterSpec, target_in_frames: int,
+                   hard_cap: bool = False) -> int:
+    """Gather-geometry block count: one block = num inputs -> den outputs.
+    Bounded so the launch's OUTPUT stays sane for absurd upsample ratios
+    (den in the tens of millions is legal in the reference — it streams
+    per-sample — but n_blocks*den output rows must not explode the host/
+    device buffers; ~4M output frames per launch is plenty of batching).
+    ``hard_cap`` floors instead of rounding: a max_latency_ms budget is a
+    ceiling the quantum must not cross."""
+    max_blocks = max(1, _MAX_GATHER_OUT_FRAMES // spec.den)
+    want = (target_in_frames // spec.num if hard_cap
+            else round(target_in_frames / spec.num))
+    return max(1, min(want, max_blocks))
+
+
+_MAX_GATHER_OUT_FRAMES = 1 << 22
 
 
 def _launch_geometry(spec: fd.FilterSpec, target_in_frames: int,
@@ -270,11 +304,24 @@ def _launch_geometry(spec: fd.FilterSpec, target_in_frames: int,
                 return b2
     if bspec.kernel == "gather":
         return dataclasses.replace(
-            bspec, n_blocks=max(1, max_in_frames // spec.num))
+            bspec, n_blocks=_gather_blocks(spec, max_in_frames,
+                                           hard_cap=True))
     # dense geometry with the group factor capped to the budget
     group = min(fm.choose_group(spec.num, spec.den, spec.filt_len),
                 max(1, max_in_frames // spec.num))
     stride = group * spec.num
+    # re-apply the padded-weight cap at the CAPPED group: a spec whose
+    # uncapped geometry was tiled/streamed (per-phase weights fit) can
+    # still have a dense L x group*den matrix of GBs for huge den — route
+    # it to the weight-free gather geometry like the uncapped path would
+    L = spec.filt_len + stride
+    itemsize = 2 if spec.fixed_point else 4
+    if L * group * spec.den * itemsize > fm.MAX_PADDED_WEIGHT_BYTES:
+        return BatchSpec(num=spec.num, den=spec.den, quality=spec.quality,
+                         filt_len=spec.filt_len, group=1,
+                         n_blocks=_gather_blocks(spec, max_in_frames,
+                                                 hard_cap=True),
+                         f0=f0, kernel="gather")
     return BatchSpec(num=spec.num, den=spec.den, quality=spec.quality,
                      filt_len=spec.filt_len, group=group,
                      n_blocks=max(1, max_in_frames // stride), f0=f0)
@@ -331,7 +378,7 @@ def _launch_geometry_impl(spec: fd.FilterSpec, target_in_frames: int,
         # pathological huge-den ratio: any padded/cyclic weight matrix is
         # GBs — fall to the weight-free gather geometry (one quantum of
         # num inputs -> den outputs per block)
-        n_blocks = max(1, round(target_in_frames / spec.num))
+        n_blocks = _gather_blocks(spec, target_in_frames)
         return BatchSpec(num=spec.num, den=spec.den, quality=spec.quality,
                          filt_len=spec.filt_len, group=1,
                          n_blocks=n_blocks, f0=f0, kernel="gather")

@@ -83,16 +83,23 @@ class FleetResampler(ZeroFillDegradation):
         # device failure swaps poll() onto a host zero-output dispatch
         # with exact sample accounting.  Sticky, like the C fn-ptr swap.
         self._degraded = False
+        self._flushed = False  # flush() is terminal; see its docstring
 
     # -- ingress ----------------------------------------------------------
 
     def push(self, stream: int, frames: np.ndarray) -> None:
         """frames: int16 [n, C] interleaved for one stream."""
+        if self._flushed:
+            # lane histories hold flush padding; resampling new audio
+            # against them would be silently wrong
+            raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
         self._stager.push(stream, frames)
 
     def push_bytes(self, stream: int, data: bytes) -> int:
         """Raw s16 PCM bytes; partial frames carry over (Transform-stream
         alignment semantics, src/index.ts:148-154)."""
+        if self._flushed:
+            raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
         return self._stager.push_bytes(stream, data)
 
     def staged(self) -> np.ndarray:
@@ -123,17 +130,32 @@ class FleetResampler(ZeroFillDegradation):
         return n
 
     def flush(self) -> None:
-        """Drain all staged frames (zero-padding the launch quantum) and
-        bank only the outputs whose windows start within real input."""
+        """END-OF-STREAM drain: process ALL staged frames (zero-padding
+        each stream's final partial quantum) and bank only the outputs
+        whose windows start within real input.
+
+        Terminal: the padding zeros advance lane filter histories, and
+        streams whose staged counts differ leave lanes phase-divergent —
+        neither is representable by the lockstep engine, so further
+        ``push`` raises.  For exact continuation semantics use
+        ``BatchedResampler.flush`` (lockstep streams) or hand the lane off
+        through ``MultiFleet`` (per-stream sub-quantum drains)."""
         self.poll()
-        slab, staged = self._stager.fill_flush()
-        if slab is None:
-            return
-        y = self._recv(self._dispatch_chunk(slab))
-        per_stream = [ph.producible_outputs(int(f), 0, self.bspec.f0,
-                                            self.spec.num, self.spec.den)
-                      for f in staged]
-        self._bank(y, per_stream)
+        # fill_flush caps each stream at one quantum per call; loop so a
+        # stream with >1 quantum staged (possible when lockstep readiness
+        # was gated by an emptier stream) drains completely.  Outputs keep
+        # composing because the quantum consumes a multiple of num inputs
+        # (phase returns to f0 at every launch boundary).
+        while True:
+            slab, staged = self._stager.fill_flush()
+            if slab is None:
+                break
+            y = self._recv(self._dispatch_chunk(slab))
+            per_stream = [ph.producible_outputs(int(f), 0, self.bspec.f0,
+                                                self.spec.num, self.spec.den)
+                          for f in staged]
+            self._bank(y, per_stream)
+        self._flushed = True
 
     # -- zero-fill degradation: shared machinery in utils/degrade.py ------
 
@@ -246,6 +268,7 @@ class FleetResampler(ZeroFillDegradation):
             "fixed_point": self.fixed_point,
             "active": list(self._active),
             "degraded": self._degraded,
+            "flushed": self._flushed,
             "hist": self._hist_host(),
             "staged": [self._stager.peek(s) for s in range(self.n_streams)],
             "carry": [self._stager.carry(s) for s in range(self.n_streams)],
@@ -262,6 +285,7 @@ class FleetResampler(ZeroFillDegradation):
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
         if state.get("degraded", False):
             self._degraded = True
+        self._flushed = bool(state.get("flushed", False))
         if self._degraded:
             # sticky: a healthy checkpoint loaded into a degraded engine
             # must keep the host-ndarray hist (the device may be dead)

@@ -227,7 +227,6 @@ class MultiFleet:
             # the reserved slot was never activated; just release it
             self._buckets[st.key].free.append(st.slot)
             st.slot = None
-            self._gc(sid)
             return
         if st.slot is None:
             return
@@ -243,14 +242,14 @@ class MultiFleet:
             core = ResamplerCore(C, ir, orr, ir, orr, q,
                                  fixed_point=self.fixed_point)
             core.import_history(hist)
-            parts.append(core.process_interleaved(tail_in, 10 ** 9))
+            parts.append(core.process_interleaved(tail_in, _BIG))
         if parts:
-            tail = np.concatenate(parts)
-            st.carryover = (np.concatenate([st.carryover, tail])
-                            if st.carryover is not None
-                            and len(st.carryover) else tail)
+            self._add_carryover(st, np.concatenate(parts))
         self._drop_slot(st)
-        self._gc(sid)
+        # NOT _gc'd here even when nothing is owed: the entry must survive
+        # until the caller's post-end pull (the documented sequence), which
+        # collects the tail — or an empty array — and then collects the
+        # stream record itself.
 
     def remove_stream(self, sid):
         """Immediate detach: staged input is dropped; already-banked output
@@ -259,14 +258,10 @@ class MultiFleet:
         st.ended = True
         st.transition = None          # staged/buffered input is dropped
         if st.slot is not None:
-            b = self._buckets[st.key]
-            banked = b.fleet.pull(st.slot)
+            banked = self._buckets[st.key].fleet.pull(st.slot)
             if len(banked):
-                st.carryover = (np.concatenate([st.carryover, banked])
-                                if st.carryover is not None
-                                and len(st.carryover) else banked)
+                self._add_carryover(st, banked)
             self._drop_slot(st)
-        self._gc(sid)
 
     def set_stream_rate(self, sid, in_rate: int, out_rate: int,
                         quality: int | None = None):
@@ -338,13 +333,31 @@ class MultiFleet:
             if parts:
                 self._add_carryover(st, np.concatenate(parts))
             # free the old slot, then take the new one
-            b_old.fleet.set_slot_active(st.slot, False)
-            b_old.fleet._out[st.slot] = []
-            b_old.free.append(st.slot)
-            st.slot = None
+            self._drop_slot(st)
 
-        core.set_rate(in_rate, out_rate)
-        core.set_quality(quality)
+        # The reference CAN reject a switch (multiply_frac's uint32 guard
+        # rescaling samp_frac_num, update_filter's INT_MAX guards —
+        # resample.c:593-603, :1134).  The lane is already torn down by
+        # now, so on rejection restore the pre-switch core and keep
+        # serving the stream under its OLD config through a transition
+        # (phase may be nonzero, so it cannot re-seed a lockstep lane
+        # directly), then surface the error like C's return code.
+        snap = core.state_dict()
+        try:
+            core.set_rate(in_rate, out_rate)
+            core.set_quality(quality)
+        except ResamplerError:
+            ir0, or0, q0 = st.key
+            core = ResamplerCore(C, ir0, or0, ir0, or0, q0,
+                                 fixed_point=self.fixed_point)
+            core.load_state_dict(snap)
+            st.slot = self._buckets[st.key].free.pop()
+            st.transition = _Transition(core, C)
+            for y in st.transition.pump():
+                self._add_carryover(st, y)
+            if st.transition.done:
+                self._seed_from_transition(st)
+            raise
         st.key = new_key
         st.slot = b_new.free.pop()      # reserved; inactive until seeded
         st.transition = _Transition(core, C)

@@ -150,6 +150,25 @@ def test_quantized_budget_keeps_family_and_cap():
     assert eng.launch_latency_ms <= 80.0
 
 
+def test_latency_cap_huge_den_dense_fallback_routes_to_gather():
+    """A spec whose uncapped geometry is streamed (per-phase weights fit)
+    but whose quantum unit S exceeds the cap must NOT fall through to a
+    dense geometry whose padded L x group*den matrix busts
+    MAX_PADDED_WEIGHT_BYTES (hundreds of MB for huge den) — the capped
+    path re-applies the cap at the capped group and routes to the
+    weight-free gather geometry, like the uncapped path would."""
+    from speex_resampler_tpu.ops import filter_design as fd
+    from speex_resampler_tpu.parallel.batch import _launch_geometry
+
+    spec = fd.design_filter(513, 16384, 0)
+    un = _launch_geometry(spec, 4096, use_pallas=True)
+    assert un.kernel in ("tiled", "streamed")
+    capped = _launch_geometry(spec, 4096, use_pallas=True,
+                              max_in_frames=1000)
+    assert capped.kernel == "gather", capped.kernel
+    assert capped.n_blocks * spec.num <= 1000
+
+
 def test_fuzz_latency_caps_random_configs():
     """Seeded sweep: for random (ratio, quality, cap) draws the capped
     engine must (a) keep its quantum under the cap or refuse cleanly when

@@ -411,6 +411,70 @@ def test_multifleet_set_stream_rate_fixed_oracle(oracle_fixed, tmp_path):
     assert np.array_equal(got[:m], want[:m])
 
 
+def test_multifleet_end_stream_then_pull_returns_tail_or_empty():
+    """The documented sequence — end_stream then pull — must work even
+    when the stream owes nothing: pull returns an empty array (and only
+    then is the record collected); a second end_stream is a no-op.
+    Regression: _gc ran inside end_stream, so pull raised INVALID_ARG."""
+    mf = MultiFleet(channels=1, capacity_per_bucket=2,
+                    target_chunk_frames=512, use_pallas=False)
+    mf.add_stream("a", 44100, 48000, 7)
+    mf.end_stream("a")            # nothing ever pushed
+    mf.end_stream("a")            # repeat is a no-op, not an error
+    out = mf.pull("a")
+    assert out.shape == (0, 1)
+    with pytest.raises(ResamplerError):
+        mf.pull("a")              # collected after the post-end pull
+
+
+def test_multifleet_rejected_switch_keeps_stream_serviceable():
+    """A reference-rejected switch (multiply_frac's uint32 guard rescaling
+    samp_frac_num, resample.c:593-603/:1134) must raise AND leave the
+    stream serving under its OLD config — transactional, unlike C's
+    half-committed state (which ResamplerCore reproduces for parity; a
+    fleet lane cannot).  Regression: the lane was torn down before the
+    switch was attempted, wedging the stream (next push crashed)."""
+    # Old config with a HUGE den (44100->65537, coprime) so a live frac
+    # can overflow the rescale to a sane new den: multiply_frac's guard
+    # fails once frac * 131071 exceeds uint32.  Find a push count whose
+    # sub-quantum drain leaves frac >= 2^32/131071 = 32768 (analytically —
+    # one-shot from phase 0: f = (out * num) % den).
+    from speex_resampler_tpu.ops import filter_design as fd
+    from speex_resampler_tpu.ops import phase as ph
+    old, bad = (44100, 65537), (44100, 131071)
+    num, den = old
+    n = None
+    for cand in range(150, 600):
+        out = ph.producible_outputs(cand, 0, 0, num, den)
+        f = (out * num) % den
+        try:
+            fd.multiply_frac(f, bad[1], den)
+        except fd.OverflowArgError:
+            n = cand
+            break
+    assert n is not None
+
+    rng = np.random.default_rng(17)
+    x1 = (rng.integers(-20000, 20000, size=(n, 1))).astype(np.int16)
+    x2 = (rng.integers(-20000, 20000, size=(2000, 1))).astype(np.int16)
+    mf = MultiFleet(channels=1, capacity_per_bucket=2,
+                    target_chunk_frames=512, use_pallas=False)
+    mf.add_stream("s", *old, 4)
+    mf.push("s", x1)
+    with pytest.raises(ResamplerError):
+        mf.set_stream_rate("s", *bad)
+    mf.push("s", x2)              # stream still serviceable, OLD config
+    mf.flush()
+    got = mf.pull("s")
+
+    ref = ResamplerCore(1, *old, *old, 4)
+    want = np.concatenate([ref.process_interleaved(x1, 10 ** 9),
+                           ref.process_interleaved(x2, 10 ** 9)])
+    assert abs(got.shape[0] - want.shape[0]) <= 1, (got.shape, want.shape)
+    m = min(got.shape[0], want.shape[0])
+    assert_lsb_close(got[:m].ravel(), want[:m].ravel())
+
+
 def test_multifleet_switch_magic_covers_windows():
     """A q10→q0 switch right after a sub-quantum push leaves the transition
     with a magic stash whose windows cover all of its first outputs

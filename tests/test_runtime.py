@@ -12,6 +12,7 @@ from speex_resampler_tpu.core.resampler import ResamplerCore
 from speex_resampler_tpu.runtime.native import (NativeStager, PyStager,
                                                 load_runtime)
 from speex_resampler_tpu.runtime.fleet import FleetResampler
+from speex_resampler_tpu.utils.errors import ResamplerError
 
 from conftest import assert_lsb_close
 
@@ -113,6 +114,43 @@ def test_fleet_matches_single_stream_core():
         assert abs(got.shape[0] - ref.shape[0]) <= 1
         assert_lsb_close(got[:m].ravel(), ref[:m].ravel())
         assert fleet.pull(s).shape[0] == 0  # drained
+
+
+def test_fleet_flush_drains_multiple_quanta():
+    """flush() must drain EVERYTHING staged, not one quantum per stream:
+    when lockstep readiness was gated by an emptier stream, another stream
+    can sit on several quanta.  Regression: fill_flush caps each stream at
+    one quantum per call and flush() called it once, silently losing the
+    rest.  flush() is also terminal: further pushes must raise."""
+    rng = np.random.default_rng(11)
+    S, C = 2, 1
+    fleet = FleetResampler(S, C, 44100, 48000, 7,
+                           target_chunk_frames=512, use_pallas=False)
+    q = fleet.bspec.in_per_launch
+    n0, n1 = int(2.5 * q), q // 3
+    frames0 = (rng.integers(-32768, 32768, size=(n0, C)) // 2).astype(
+        np.int16)
+    frames1 = (rng.integers(-32768, 32768, size=(n1, C)) // 2).astype(
+        np.int16)
+    fleet.push(0, frames0)
+    fleet.push(1, frames1)
+    assert fleet.poll() == 0  # stream 1 gates lockstep readiness
+    fleet.flush()
+
+    for s, frames in ((0, frames0), (1, frames1)):
+        got = fleet.pull(s)
+        core = ResamplerCore(C, 44100, 48000, 44100, 48000, 7)
+        ref = core.process_interleaved(frames, 10 ** 9)
+        assert abs(got.shape[0] - ref.shape[0]) <= 1, (s, got.shape,
+                                                       ref.shape)
+        m = min(got.shape[0], ref.shape[0])
+        assert_lsb_close(got[:m].ravel(), ref[:m].ravel())
+
+    with pytest.raises(ResamplerError):
+        fleet.push(0, frames1)
+    with pytest.raises(ResamplerError):
+        fleet.push_bytes(0, b"\x00\x00")
+    fleet.flush()  # repeat flush stays a no-op, not an error
 
 
 def test_fleet_push_bytes_roundtrip():
