@@ -309,13 +309,15 @@ int srt_fill_launch(void* h, int16_t* out) {
   auto* rt = static_cast<Runtime*>(h);
   const int C = rt->channels;
   const long B = rt->B, n_in = rt->n_in;
-  bool any_inactive = false;
+  bool any_inactive = false, any_active = false;
   for (int s = 0; s < rt->n_streams; ++s) {
     if (!rt->active[static_cast<size_t>(s)]) { any_inactive = true; continue; }
+    any_active = true;
     if (static_cast<long>(rt->fifo[static_cast<size_t>(s)].size()) <
         n_in * C)
       return -1;
   }
+  if (!any_active) return -1;  // no launch is "ready" with zero streams
   if (any_inactive)
     std::memset(out, 0, static_cast<size_t>(n_in) * B * 2);
   std::vector<const int16_t*> srcs(static_cast<size_t>(rt->n_streams));
@@ -372,34 +374,42 @@ long srt_fill_flush(void* h, int16_t* out, long* staged_out) {
 
 // Checkpoint support: copy (without consuming) one stream's staged frames
 // into dst[staged][C].  Caller sizes dst from srt_staged().
-void srt_peek(void* h, int stream, int16_t* dst) {
+// Returns -1 on an out-of-range stream (the PyStager reference raises).
+int srt_peek(void* h, int stream, int16_t* dst) {
   auto* rt = static_cast<Runtime*>(h);
+  if (!rt || stream < 0 || stream >= rt->n_streams) return -1;
   const auto& f = rt->fifo[static_cast<size_t>(stream)];
   std::memcpy(dst, f.front(), f.size() * 2);
+  return 0;
 }
 
-// Checkpoint support: alignment-carry bytes for one stream.
+// Checkpoint support: alignment-carry bytes for one stream (-1 = bad index).
 long srt_carry_size(void* h, int stream) {
   auto* rt = static_cast<Runtime*>(h);
+  if (!rt || stream < 0 || stream >= rt->n_streams) return -1;
   return static_cast<long>(rt->carry[static_cast<size_t>(stream)].size());
 }
 
-void srt_get_carry(void* h, int stream, uint8_t* dst) {
+int srt_get_carry(void* h, int stream, uint8_t* dst) {
   auto* rt = static_cast<Runtime*>(h);
+  if (!rt || stream < 0 || stream >= rt->n_streams) return -1;
   const auto& c = rt->carry[static_cast<size_t>(stream)];
   std::memcpy(dst, c.data(), c.size());
+  return 0;
 }
 
 // Scatter a device result slab y[n_out][B] back to one stream's
-// interleaved PCM dst[n_out][C].
-void srt_unpack(void* h, const int16_t* y, long n_out, int stream,
-                int16_t* dst) {
+// interleaved PCM dst[n_out][C].  Returns -1 on an out-of-range stream.
+int srt_unpack(void* h, const int16_t* y, long n_out, int stream,
+               int16_t* dst) {
   auto* rt = static_cast<Runtime*>(h);
+  if (!rt || stream < 0 || stream >= rt->n_streams) return -1;
   const int C = rt->channels;
   const long B = rt->B;
   const int16_t* src = y + static_cast<long>(stream) * C;
   for (long t = 0; t < n_out; ++t, src += B, dst += C)
     std::memcpy(dst, src, static_cast<size_t>(C) * 2);
+  return 0;
 }
 
 // Scatter the whole slab y[n_out][B] to [S, n_out, C] (stream-major).

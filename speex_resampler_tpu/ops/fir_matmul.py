@@ -184,16 +184,8 @@ def fixed_weight_planes(w16: "np.ndarray"):
     columns).  Returns (wh int8[L,C], wl0 int8[L,C], bias int32[C]) with
     w = 256*wh + wl0 exactly and bias[c] = 128 * sum_L w16[l, c] (the
     contribution of the input's +128 plane)."""
-    import numpy as np
-    w32 = w16.astype(np.int32)
-    # the balanced split is exact for every int16 in [-32768, 32639]
-    # (wh, wl0 both within int8); only [32640, 32767] is unreachable
-    assert w32.max() < 32640, "tap exceeds exact 2-plane range"
-    wl0 = ((w32 + 128) & 255) - 128
-    wh = (w32 - wl0) >> 8
-    assert (w32 == 256 * wh + wl0).all()
-    bias = w32.sum(axis=0, dtype=np.int32) << 7
-    return wh.astype(np.int8), wl0.astype(np.int8), bias
+    from .fixed_math import balanced_q15_split
+    return balanced_q15_split(w16, tap_axis=0)
 
 
 def _exact_i16_dot(xa, wh_a, wl0_a):

@@ -33,10 +33,32 @@ __all__ = [
     "mult16_16", "pshr32", "shr32", "saturate32pshr",
     "mult16_32_q15", "pdiv32", "word2int_fixed",
     "cubic_coef_fixed", "interp_mix_fixed", "to_word16",
+    "balanced_q15_split",
 ]
 
 I16 = np.int16
 I32 = np.int32
+
+
+def balanced_q15_split(w16, tap_axis: int):
+    """EXACT balanced base-256 split of int16 Q15 taps — the ONE
+    definition behind the fixed universe's int8-plane kernels (dense XLA
+    twin AND both Pallas layouts; see fir_matmul.fixed_weight_planes,
+    pallas_fir.fixed_weight_planes_tiled).
+
+    Realizable Q15 taps satisfy |w| <= 32768*cutoff < 32639 (cutoff <=
+    .975, resample.c:226-238), so w = 256*wh + wl0 with wh, wl0 in
+    [-128, 127] is exact with NO constant term; the INPUT's +128 plane
+    lands in a per-output bias of 128 * sum(w) over ``tap_axis``.
+    Returns (wh int8, wl0 int8, bias int32)."""
+    w32 = np.asarray(w16).astype(np.int32)
+    # exact for every int16 in [-32768, 32639]; only [32640, 32767] fails
+    assert w32.max() < 32640, "tap exceeds exact 2-plane range"
+    wl0 = ((w32 + 128) & 255) - 128
+    wh = (w32 - wl0) >> 8
+    assert np.abs(wh).max() <= 127 and (w32 == 256 * wh + wl0).all()
+    bias = w32.sum(axis=tap_axis, dtype=np.int32) << 7
+    return wh.astype(np.int8), wl0.astype(np.int8), bias
 
 
 def _i32(x) -> np.ndarray:

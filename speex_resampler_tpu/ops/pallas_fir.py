@@ -131,15 +131,12 @@ def fixed_weight_planes_tiled(w16):
     w16: int16 [P, K, C] tiled weights (C = R, or n_accum*R with the
     accumulator index MAJOR: column c*R + r).  Returns
     (planes int8 [2, P, C, K]  — pre-transposed to the kernel's [R, K]
-    operand layout, bias int32 [P, C])."""
-    w32 = np.asarray(w16).astype(np.int32)
-    # exact for every int16 in [-32768, 32639]; only [32640, 32767] fails
-    assert w32.max() < 32640, "tap exceeds exact 2-plane range"
-    wl0 = ((w32 + 128) & 255) - 128
-    wh = (w32 - wl0) >> 8
-    assert np.abs(wh).max() <= 127 and (w32 == 256 * wh + wl0).all()
-    planes = np.stack([wh, wl0]).astype(np.int8).transpose(0, 1, 3, 2)
-    bias = (w32.sum(axis=1, dtype=np.int32) << 7)  # [P, C]
+    operand layout, bias int32 [P, C]).  The split itself is the shared
+    fixed_math.balanced_q15_split (one definition across all fixed
+    paths); this wrapper only lays it out for the tiled kernels."""
+    from .fixed_math import balanced_q15_split
+    wh, wl0, bias = balanced_q15_split(w16, tap_axis=1)  # bias [P, C]
+    planes = np.stack([wh, wl0]).transpose(0, 1, 3, 2)
     return np.ascontiguousarray(planes), bias
 
 
@@ -396,8 +393,12 @@ def _kernel_v3(w_ref, *rest, offs: tuple, S: int, K: int, H: int,
                 for jc, plan in cases:
                     @pl.when(period == jc)
                     def _(plan=plan, g=g):
-                        # jc-case plans index views relative to period 0
-                        # of the program (j == 0 when this fires)
+                        # jc-case plans carry view indices computed for
+                        # absolute period jc (v = c//S + back - jc); under
+                        # the period == jc predicate the program's window
+                        # (base j*gp - back, shifted g slots) maps view
+                        # v + g to chunk block c//S exactly — in WHICHEVER
+                        # program the period lands (j > 0 when back > gp)
                         assemble(plan, g)
             # precision scheme is load-bearing; see _dot_scheme/_kernel.
             if scheme == "fixed":
@@ -458,8 +459,6 @@ def resample_conv_tm_pallas_v3(hist, x, w, offsets: tuple, *, S: int,
         assert wT.dtype == jnp.int8, wT.dtype
         _, P, C, K = wT.shape
         R = C // n_accum
-        w_bytes = 2 * P * C * K + P * C * 4 + (P * 4 * R * 4
-                                               if n_accum == 4 else 0)
         w_specs = [pl.BlockSpec((2, P, C, K), lambda i, j: (0, 0, 0, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((P, C), lambda i, j: (0, 0),
@@ -472,7 +471,6 @@ def resample_conv_tm_pallas_v3(hist, x, w, offsets: tuple, *, S: int,
         assert planes.dtype == jnp.int8, planes.dtype
         D, P, K, R = planes.shape
         wT = planes.transpose(0, 1, 3, 2)  # [D, P, R, K]
-        w_bytes = D * P * R * K + P * R * 4
         w_specs = [pl.BlockSpec((D, P, R, K), lambda i, j: (0, 0, 0, 0),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((P, R), lambda i, j: (0, 0),
@@ -481,13 +479,11 @@ def resample_conv_tm_pallas_v3(hist, x, w, offsets: tuple, *, S: int,
         assert w.ndim == 4 and w.dtype == jnp.bfloat16, (w.shape, w.dtype)
         _, P, K, R = w.shape
         wT = w.transpose(0, 1, 3, 2)  # [3, P, R, K]
-        w_bytes = 3 * P * R * K * 2
         w_specs = [pl.BlockSpec((3, P, R, K), lambda i, j: (0, 0, 0, 0),
                                 memory_space=pltpu.VMEM)]
     else:
         P, K, R = w.shape
         wT = w.transpose(0, 2, 1).astype(jnp.float32)  # [P, R, K]
-        w_bytes = P * R * K * 4
         w_specs = [pl.BlockSpec((P, R, K), lambda i, j: (0, 0, 0),
                                 memory_space=pltpu.VMEM)]
     H, B = hist.shape
@@ -505,14 +501,13 @@ def resample_conv_tm_pallas_v3(hist, x, w, offsets: tuple, *, S: int,
         hist = jnp.pad(hist, ((0, 0), (0, B_pad - B)))
         x = jnp.pad(x, ((0, 0), (0, B_pad - B)))
     if lane_tile is None:
-        # views (V, double-buffered) + resident w + out (double) + hist +
-        # f32 scratch within ~14 MB gives the VMEM ceiling; measured on
-        # v5e, one lane tile of 128 beats larger tiles anyway (more grid
-        # steps pipeline the view DMAs better: 0.48 vs 0.56 ms/launch), so
-        # default to the minimum
-        denom = 4 * V * S + 4 * P * R + 4 * H + 4 * K
-        lb = (14 * 1024 * 1024 - w_bytes) // denom
-        lb = max(_LANE, min((lb // _LANE) * _LANE, _LANE))
+        # one lane tile of 128 beats larger tiles on v5e regardless of the
+        # VMEM headroom (more grid steps pipeline the view DMAs better:
+        # 0.48 vs 0.56 ms/launch at the flagship), so the default IS the
+        # minimum — VMEM sizing does not drive it (the fixed universe,
+        # whose planes can exceed the float budget, sizes its own tile in
+        # the caller; see _MAX_FIXED_TILED_WEIGHT_BYTES)
+        lb = _LANE
     else:
         lb = lane_tile
     lb = min(lb, B_pad)
@@ -729,6 +724,13 @@ def resample_conv_tm_pallas_v4(hist, x, w, *, n_blocks: int, shift: int,
     H, B = hist.shape
     assert H % 16 == 0 and x.shape[1] == B
     hist_plans = _v4_hist_plans(R, K, H, num, den, shift, f0)
+    # enforce the "real rows ++ >= K zero rows" contract (v3 asserts its
+    # T_c equivalent): the manual DMAs read K rows from the closed-form
+    # per-block origin, and an under-padded x would silently read past the
+    # array in HBM — wrong samples, no error
+    t_last = f0 + (n_blocks - 1) * R * num
+    row_last = max(((t_last // den + shift) // 16) * 16 - H, 0)
+    assert x.shape[0] >= row_last + K, (x.shape, row_last, K)
 
     B_pad = -(-B // _LANE) * _LANE
     if B_pad != B:

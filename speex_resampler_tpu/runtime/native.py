@@ -52,10 +52,15 @@ def load_runtime():
     try:
         _LIB.parent.mkdir(parents=True, exist_ok=True)
         if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+            # build to a per-pid temp name + atomic rename: concurrent
+            # importers (pytest-xdist workers) must never CDLL a
+            # half-written .so
+            tmp = _LIB.with_suffix(f".so.{os.getpid()}.tmp")
             subprocess.run(
                 ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                 "-o", str(_LIB), str(_SRC)],
+                 "-pthread", "-o", str(tmp), str(_SRC)],
                 check=True, capture_output=True)
+            os.replace(tmp, _LIB)
         lib = ctypes.CDLL(str(_LIB))
     except (OSError, subprocess.CalledProcessError):
         _lib_failed = True
@@ -80,10 +85,13 @@ def load_runtime():
     lib.srt_fill_launch.argtypes = [c.c_void_p, c.c_void_p]
     lib.srt_fill_flush.restype = c.c_long
     lib.srt_fill_flush.argtypes = [c.c_void_p, c.c_void_p, c.c_void_p]
+    lib.srt_peek.restype = c.c_int
     lib.srt_peek.argtypes = [c.c_void_p, c.c_int, c.c_void_p]
     lib.srt_carry_size.restype = c.c_long
     lib.srt_carry_size.argtypes = [c.c_void_p, c.c_int]
+    lib.srt_get_carry.restype = c.c_int
     lib.srt_get_carry.argtypes = [c.c_void_p, c.c_int, c.c_void_p]
+    lib.srt_unpack.restype = c.c_int
     lib.srt_unpack.argtypes = [c.c_void_p, c.c_void_p, c.c_long, c.c_int,
                                c.c_void_p]
     lib.srt_unpack_all.argtypes = [c.c_void_p, c.c_void_p, c.c_long,
@@ -185,12 +193,14 @@ class NativeStager:
         """Staged frames for one stream (not consumed): int16 [n, C]."""
         n = int(self.staged()[stream])
         dst = np.empty((n, self.channels), dtype=np.int16)
-        if n:
-            self._lib.srt_peek(self._h, stream, _ptr(dst))
+        if self._lib.srt_peek(self._h, stream, _ptr(dst)) != 0:
+            raise IndexError(f"bad stream {stream}")
         return dst
 
     def carry(self, stream: int) -> bytes:
         n = int(self._lib.srt_carry_size(self._h, stream))
+        if n < 0:
+            raise IndexError(f"bad stream {stream}")
         if not n:
             return b""
         dst = np.empty(n, dtype=np.uint8)
@@ -200,6 +210,8 @@ class NativeStager:
     def unpack_all(self, y: np.ndarray) -> np.ndarray:
         """y: int16 [n_out, B] -> [S, n_out, C]."""
         y = np.ascontiguousarray(y, dtype=np.int16)
+        if y.ndim != 2 or y.shape[1] != self.B:  # C walks y with stride B
+            raise ValueError(f"slab lane axis {y.shape} != B={self.B}")
         n_out = y.shape[0]
         dst = np.empty((self.n_streams, n_out, self.channels), dtype=np.int16)
         self._lib.srt_unpack_all(self._h, _ptr(y), n_out, _ptr(dst))
@@ -207,9 +219,13 @@ class NativeStager:
 
     def unpack(self, y: np.ndarray, stream: int) -> np.ndarray:
         y = np.ascontiguousarray(y, dtype=np.int16)
+        if y.ndim != 2 or y.shape[1] != self.B:
+            raise ValueError(f"slab lane axis {y.shape} != B={self.B}")
         n_out = y.shape[0]
         dst = np.empty((n_out, self.channels), dtype=np.int16)
-        self._lib.srt_unpack(self._h, _ptr(y), n_out, stream, _ptr(dst))
+        if self._lib.srt_unpack(self._h, _ptr(y), n_out, stream,
+                                _ptr(dst)) != 0:
+            raise IndexError(f"bad stream {stream}")
         return dst
 
 

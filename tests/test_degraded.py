@@ -17,6 +17,7 @@ import pytest
 
 from speex_resampler_tpu.parallel.batch import BatchedResampler
 from speex_resampler_tpu.runtime.fleet import FleetResampler
+from speex_resampler_tpu.utils.errors import ResamplerError
 
 
 def _random_frames(S, n, C, seed=0):
@@ -180,9 +181,11 @@ def test_fleet_degrades_mid_serving(fail_mode):
     fleet.poll()
     healthy.poll()
     assert fleet.degraded
+    mid_state = fleet.state_dict()   # degraded, NOT yet flushed
     fleet.flush()
     healthy.flush()
 
+    ref0 = None
     for s in range(S):
         got = fleet.pull(s)
         ref = healthy.pull(s)
@@ -191,18 +194,34 @@ def test_fleet_degrades_mid_serving(fail_mode):
         n_good = n_healthy_launches * fleet.bspec.out_per_launch
         assert np.array_equal(got[:n_good], ref[:n_good])
         assert not got[n_good:].any()
+        if s == 0:
+            ref0 = ref
 
-    # checkpoint round-trip preserves degradation
+    # checkpoint round-trip preserves degradation AND terminal flush
     state = fleet.state_dict()
     assert state["degraded"]
     f2 = FleetResampler(S, C, 44100, 48000, 7,
                         target_chunk_frames=1024, use_pallas=False)
     f2.load_state_dict(state)
     assert f2.degraded
-    f2.push(0, frames[0])
-    f2.poll()
-    f2.flush()
-    assert not f2.pull(0).any()
+    with pytest.raises(ResamplerError):
+        f2.push(0, frames[0])        # flush is terminal, survives restore
+
+    # a degraded snapshot taken MID-SERVING stays fully serviceable:
+    # restoring it keeps draining the exact per-stream counts, as zeros
+    f3 = FleetResampler(S, C, 44100, 48000, 7,
+                        target_chunk_frames=1024, use_pallas=False)
+    f3.load_state_dict(mid_state)
+    assert f3.degraded
+    for s in range(S):
+        f3.push(s, frames[s, :2000])
+    f3.poll()
+    f3.flush()
+    got3 = f3.pull(0)
+    n_good = n_healthy_launches * fleet.bspec.out_per_launch
+    assert got3.shape[0] > n_good
+    assert np.array_equal(got3[:n_good], ref0[:n_good])
+    assert not got3[n_good:].any()
 
 
 def test_multifleet_degraded_surface():
