@@ -18,12 +18,13 @@ from .utils.errors import (ResamplerError, ResamplerErrorCode, strerror,
                            QUALITY_VOIP, QUALITY_DESKTOP)
 from .core.resampler import ResamplerCore
 from .parallel.batch import BatchedResampler
+from .functional import make_stream_fn, resample_array
 
 __version__ = "0.1.0"
 
 __all__ = [
     "SpeexResampler", "SpeexResamplerTransform", "ResamplerCore",
-    "BatchedResampler",
+    "BatchedResampler", "make_stream_fn", "resample_array",
     "ResamplerError", "ResamplerErrorCode", "strerror",
     "QUALITY_MAX", "QUALITY_MIN", "QUALITY_DEFAULT", "QUALITY_VOIP",
     "QUALITY_DESKTOP", "__version__",
