@@ -179,6 +179,11 @@ def measure_config(in_rate, out_rate, quality, *, use_pallas,
         return (ts[ITERS_LONG] - ts[ITERS_SHORT]) / (ITERS_LONG
                                                      - ITERS_SHORT)
 
+    def one_long_bound():
+        t0 = time.perf_counter()
+        jax.device_get(rep(hist0, x, w, jnp.int16(1), ITERS_LONG))
+        return (time.perf_counter() - t0) / ITERS_LONG
+
     # chip/tunnel load varies between sessions; take the median of several
     # independent slope measurements, and record best + spread so a busy
     # chip can't masquerade as a kernel regression (BENCH is the driver's
@@ -186,11 +191,25 @@ def measure_config(in_rate, out_rate, quality, *, use_pallas,
     # 0.13-0.44 ms/launch across contention windows).  Under heavy
     # contention one slope can cost minutes — bail once 2 are in hand if
     # the budget is running out.
-    slopes = []
-    for si in range(n_slopes):
-        slopes.append(one_slope(si))
+    slopes, rejected = [], 0
+    attempts = 0
+    while len(slopes) < n_slopes and attempts < n_slopes + 3:
+        attempts += 1
+        s = one_slope(attempts)
+        if s > 0:
+            slopes.append(s)
+        else:
+            # a contention spike during the SHORT scan can push its best
+            # above the long scan's, making the slope <= 0 — observed
+            # live (-0.185 ms "per launch").  A negative slope is not a
+            # measurement; retry rather than poison the median.
+            rejected += 1
         if len(slopes) >= 2 and _time_left() < 0.6 * _BUDGET_S:
             break
+    if not slopes:
+        # every attempt inverted (pathological contention): fall back to
+        # the long-scan wall time per launch — an upper bound, but real
+        slopes = [min(one_long_bound(), one_long_bound())]
     slopes = sorted(slopes)
     # true median: with an even count (e.g. the 2-sample budget bail),
     # average the middle two — picking slopes[n//2] would report the
@@ -207,6 +226,7 @@ def measure_config(in_rate, out_rate, quality, *, use_pallas,
         "launch_ms_best": round(best * 1e3, 4),
         "launch_ms_spread": round(spread, 3),
         "launch_ms_runs": [round(v * 1e3, 4) for v in slopes],
+        "slopes_rejected": rejected,
         "out_samples_per_sec": round(bspec.out_per_launch * B / per_launch),
         "out_samples_per_sec_best": round(bspec.out_per_launch * B / best),
         "in_samples_per_sec": round(bspec.in_per_launch * B / per_launch),
@@ -406,6 +426,7 @@ def main():
         "launch_ms": flag["launch_ms"],
         "launch_ms_best": flag["launch_ms_best"],
         "launch_ms_spread": flag["launch_ms_spread"],
+        "slopes_rejected": flag["slopes_rejected"],
         "out_samples_per_sec_best": flag["out_samples_per_sec_best"],
         "launch_ms_runs": flag["launch_ms_runs"],
         "input_samples_per_sec": flag["in_samples_per_sec"],
@@ -460,6 +481,7 @@ def main():
         fixed[f"{ir}->{orate} q{q}"] = {
             k: m[k] for k in ("kernel", "scheme", "launch_ms",
                               "launch_ms_best", "launch_ms_spread",
+                              "slopes_rejected",
                               "out_samples_per_sec",
                               "out_samples_per_sec_best",
                               "in_samples_per_sec")
@@ -479,6 +501,7 @@ def main():
         sweep[f"{ir}->{orate} q{q}"] = {
             k: m[k] for k in ("kernel", "scheme", "launch_ms",
                               "launch_ms_best", "launch_ms_spread",
+                              "slopes_rejected",
                               "out_samples_per_sec",
                               "out_samples_per_sec_best",
                               "in_samples_per_sec")
