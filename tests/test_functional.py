@@ -75,6 +75,34 @@ def test_latency_getters_match_engine():
     assert rs.output_latency == eng.output_latency()
 
 
+def test_stream_fn_mesh_sharded_matches_unsharded():
+    """The functional step under an 8-device virtual mesh must bit-match
+    the unsharded step (lane axis is share-nothing; zero collectives)."""
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = jax.sharding.Mesh(np.array(devs[:8]), ("streams",))
+    B = 16  # 2 lanes per device
+    plain = make_stream_fn(44100, 48000, 7, target_in_frames=600,
+                           use_pallas=False)
+    sharded = make_stream_fn(44100, 48000, 7, target_in_frames=600,
+                             use_pallas=False, mesh=mesh)
+    assert sharded.in_frames == plain.in_frames
+    lane = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, "streams"))
+    rng = np.random.default_rng(13)
+    h_np = np.zeros((plain.hist_rows, B), dtype=np.int16)
+    hp, hs = jnp.asarray(h_np), jax.device_put(jnp.asarray(h_np), lane)
+    for _ in range(2):
+        x_np = rng.integers(-30000, 30000, (plain.in_frames, B),
+                            dtype=np.int16)
+        hp, yp = plain.step(hp, jnp.asarray(x_np))
+        hs, ys = sharded.step(hs, jax.device_put(jnp.asarray(x_np), lane))
+        assert len(ys.sharding.device_set) == 8, ys.sharding
+        np.testing.assert_array_equal(np.asarray(yp), np.asarray(ys))
+        np.testing.assert_array_equal(np.asarray(hp), np.asarray(hs))
+
+
 def test_resample_array_shapes_and_duration():
     rng = np.random.default_rng(3)
     n = 8000
