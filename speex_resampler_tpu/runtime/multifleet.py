@@ -326,7 +326,13 @@ class MultiFleet:
             ir0, or0, q0 = st.key
             core = ResamplerCore(C, ir0, or0, ir0, or0, q0,
                                  fixed_point=self.fixed_point)
-            core.import_history(hist)
+            if st.real_frames > 0:
+                core.import_history(hist)
+            # else: virgin stream (nothing ever pushed) — the equivalent C
+            # state is UNSTARTED, and set_rate on an unstarted state takes
+            # update_filter's fresh path (resample.c:721-726): no magic
+            # migration, no history shift.  import_history would force
+            # started=1 and emit ~filt_len/2 spurious magic-drain outputs.
             parts = [banked] if len(banked) else []
             if len(tail_in):
                 parts.append(core.process_interleaved(tail_in, _BIG))

@@ -179,24 +179,57 @@ def test_multifleet_remove_stream_drops_staged():
 
 
 @pytest.mark.parametrize("fixed", [False, True])
+def test_multifleet_switch_before_any_data_is_unstarted(fixed):
+    """set_stream_rate on a stream that never pushed data must follow C's
+    UNSTARTED update_filter path (resample.c:721-726): no magic migration,
+    no spurious leading outputs — the stream then behaves like a fresh
+    resampler at the new config.  (Found by the churn fuzz: the hand-off
+    core was seeded via import_history, which forces started=1 and emitted
+    ~filt_len/2 magic-drain frames of zero history.)"""
+    rng = np.random.default_rng(5)
+    data = (rng.integers(-32768, 32768, size=(1761, 1)) // 2).astype(
+        np.int16)
+    mf = MultiFleet(channels=1, capacity_per_bucket=2,
+                    target_chunk_frames=300, use_pallas=False,
+                    fixed_point=fixed)
+    mf.add_stream("s", 44100, 48000, 7)
+    mf.set_stream_rate("s", 24000, 48000, 5)   # before ANY push
+    mf.push("s", data)
+    mf.end_stream("s")
+    got = mf.pull("s")
+
+    core = ResamplerCore(1, 24000, 48000, 24000, 48000, 5,
+                         fixed_point=fixed)
+    ref = core.process_interleaved(data, 10 ** 9)
+    assert got.shape == ref.shape, (got.shape, ref.shape)
+    if fixed:
+        assert np.array_equal(got, ref)
+    else:
+        assert_lsb_close(got.ravel(), ref.ravel())
+
+
+@pytest.mark.parametrize("fixed", [False, True])
 def test_multifleet_fuzz_churn(fixed):
-    """Randomized attach/push/poll/end/pull churn: every pulled sample must
-    match a per-stream reference core fed the same data.  In the fixed
-    universe the match is bit-exact (zero tolerance)."""
+    """Randomized attach/push/poll/switch/end/pull churn: every pulled
+    sample must match a per-stream reference core fed the same data (with
+    set_rate/set_quality applied at the same points in the stream).  In
+    the fixed universe the value match is bit-exact (zero tolerance);
+    output counts may differ by at most one frame per live switch (the
+    same boundary quantization the dedicated switch tests tolerate)."""
     rng = np.random.default_rng(42)
     mf = MultiFleet(channels=1, capacity_per_bucket=3,
                     target_chunk_frames=300, use_pallas=False,
                     fixed_point=fixed)
     configs = [(24000, 48000, 5), (44100, 48000, 7), (48000, 24000, 4)]
 
-    live = {}      # sid -> [cfg, pushed_chunks]
+    live = {}      # sid -> [cfg, pushed_chunks_and_switch_markers]
     collected = {}  # sid -> [pulled arrays]
     done = {}      # sid -> (cfg, all_pushed)
     next_id = 0
 
     for step in range(300):
-        op = rng.choice(["add", "push", "poll", "end", "pull"],
-                        p=[0.1, 0.45, 0.2, 0.1, 0.15])
+        op = rng.choice(["add", "push", "poll", "switch", "end", "pull"],
+                        p=[0.1, 0.40, 0.2, 0.05, 0.1, 0.15])
         if op == "add" and len(live) < 6:
             cfg = configs[int(rng.integers(len(configs)))]
             sid = f"s{next_id}"
@@ -216,6 +249,14 @@ def test_multifleet_fuzz_churn(fixed):
             live[sid][1].append(data)
         elif op == "poll":
             mf.poll()
+        elif op == "switch" and live:
+            sid = list(live)[int(rng.integers(len(live)))]
+            new_cfg = configs[int(rng.integers(len(configs)))]
+            try:
+                mf.set_stream_rate(sid, *new_cfg)
+            except ResamplerError:
+                continue  # target bucket full: transactional no-op
+            live[sid][1].append(("switch", new_cfg))
         elif op == "end" and live:
             sid = list(live)[int(rng.integers(len(live)))]
             cfg, chunks = live.pop(sid)
@@ -242,21 +283,47 @@ def test_multifleet_fuzz_churn(fixed):
                 collected[sid].append(out)
 
     checked = 0
-    for sid, (cfg, chunks) in done.items():
+    for sid, (cfg, items) in done.items():
         got = (np.concatenate(collected[sid])
                if collected.get(sid) else np.zeros((0, 1), np.int16))
+        chunks = [it for it in items if isinstance(it, np.ndarray)]
+        n_switch = len(items) - len(chunks)
         if not chunks:
-            assert got.shape[0] == 0
-            continue
-        data = np.concatenate(chunks)
+            # switches alone push no data; the transition may drain a few
+            # zero-history magic frames, the replay's tail drain matches
+            if n_switch == 0:
+                assert got.shape[0] == 0
+                continue
         ir, orr, q = cfg
         core = ResamplerCore(1, ir, orr, ir, orr, q, fixed_point=fixed)
-        ref = core.process_interleaved(data, 10**9)
-        assert got.shape == ref.shape, (sid, got.shape, ref.shape)
-        if fixed:
-            assert np.array_equal(got, ref), sid
+        parts = []
+        for it in items:
+            if isinstance(it, np.ndarray):
+                parts.append(core.process_interleaved(it, 10**9))
+            else:
+                nir, norr, nq = it[1]
+                core.set_rate(nir, norr)
+                core.set_quality(nq)
+        # end_stream's transition.finish() drains residual magic through
+        # the native layer; mirror it (a no-op when no switch left magic)
+        tail = core.process_native_interleaved(
+            np.zeros((0, 1), np.int16), 10**9)
+        if tail.shape[0]:
+            parts.append(tail)
+        ref = (np.concatenate(parts) if parts
+               else np.zeros((0, 1), np.int16))
+        if n_switch == 0:
+            assert got.shape == ref.shape, (sid, got.shape, ref.shape)
         else:
-            assert_lsb_close(got.ravel(), ref.ravel())
+            # one frame of boundary quantization per live switch (the
+            # bound the dedicated switch tests pin)
+            assert abs(got.shape[0] - ref.shape[0]) <= n_switch, (
+                sid, n_switch, got.shape, ref.shape)
+        m = min(got.shape[0], ref.shape[0])
+        if fixed:
+            assert np.array_equal(got[:m], ref[:m]), sid
+        else:
+            assert_lsb_close(got[:m].ravel(), ref[:m].ravel())
         checked += 1
     assert checked >= 5  # the fuzz actually exercised streams
 
