@@ -228,8 +228,21 @@ def test_multifleet_fuzz_churn(fixed):
     next_id = 0
 
     for step in range(300):
-        op = rng.choice(["add", "push", "poll", "switch", "end", "pull"],
-                        p=[0.1, 0.40, 0.2, 0.05, 0.1, 0.15])
+        op = rng.choice(["add", "push", "poll", "switch", "end", "pull",
+                         "ckpt"],
+                        p=[0.1, 0.37, 0.2, 0.05, 0.1, 0.15, 0.03])
+        if op == "ckpt":
+            # full-engine checkpoint round-trip mid-churn (through pickle,
+            # so the snapshot must be genuinely serializable): the
+            # restored engine must continue identically
+            import pickle
+            snap = pickle.loads(pickle.dumps(mf.state_dict()))
+            mf2 = MultiFleet(channels=1, capacity_per_bucket=3,
+                             target_chunk_frames=300, use_pallas=False,
+                             fixed_point=fixed)
+            mf2.load_state_dict(snap)
+            mf = mf2
+            continue
         if op == "add" and len(live) < 6:
             cfg = configs[int(rng.integers(len(configs)))]
             sid = f"s{next_id}"
