@@ -227,10 +227,34 @@ def test_multifleet_fuzz_churn(fixed):
     done = {}      # sid -> (cfg, all_pushed)
     next_id = 0
 
+    pending = {}   # sid -> carried partial-frame bytes (mirror model)
+
+    def record_frames(sid, frames):
+        items = live[sid][1]
+        if items and isinstance(items[-1], np.ndarray):
+            items[-1] = np.concatenate([items[-1], frames])
+        else:
+            items.append(frames)
+
     for step in range(300):
         op = rng.choice(["add", "push", "poll", "switch", "end", "pull",
-                         "ckpt"],
-                        p=[0.1, 0.37, 0.2, 0.05, 0.1, 0.15, 0.03])
+                         "ckpt", "push_bytes"],
+                        p=[0.1, 0.27, 0.2, 0.05, 0.1, 0.15, 0.03, 0.10])
+        if op == "push_bytes" and live:
+            # ragged byte pushes: partial frames carry across calls AND
+            # across rate switches (the salvage path); mirror the carry
+            # byte-for-byte so the reference replay sees the same frames
+            sid = list(live)[int(rng.integers(len(live)))]
+            nb = int(rng.integers(1, 700))
+            data = rng.integers(0, 256, size=nb, dtype=np.uint8).tobytes()
+            mf.push_bytes(sid, data)
+            whole = pending.get(sid, b"") + data
+            keep = len(whole) - len(whole) % 2
+            pending[sid] = whole[keep:]
+            if keep:
+                record_frames(sid, np.frombuffer(
+                    whole[:keep], dtype="<i2").reshape(-1, 1))
+            continue
         if op == "ckpt":
             # full-engine checkpoint round-trip mid-churn (through pickle,
             # so the snapshot must be genuinely serializable): the
