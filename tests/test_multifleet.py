@@ -208,15 +208,17 @@ def test_multifleet_switch_before_any_data_is_unstarted(fixed):
         assert_lsb_close(got.ravel(), ref.ravel())
 
 
+@pytest.mark.parametrize("seed", [42, 1337])
 @pytest.mark.parametrize("fixed", [False, True])
-def test_multifleet_fuzz_churn(fixed):
-    """Randomized attach/push/poll/switch/end/pull churn: every pulled
-    sample must match a per-stream reference core fed the same data (with
-    set_rate/set_quality applied at the same points in the stream).  In
-    the fixed universe the value match is bit-exact (zero tolerance);
-    output counts may differ by at most one frame per live switch (the
-    same boundary quantization the dedicated switch tests tolerate)."""
-    rng = np.random.default_rng(42)
+def test_multifleet_fuzz_churn(fixed, seed):
+    """Randomized attach/push/push_bytes/poll/switch/end/pull/checkpoint
+    churn: every pulled sample must match a per-stream reference core fed
+    the same data (with set_rate/set_quality applied at the same points in
+    the stream).  In the fixed universe the value match is bit-exact (zero
+    tolerance); output counts may differ by at most one frame per live
+    switch (the same boundary quantization the dedicated switch tests
+    tolerate)."""
+    rng = np.random.default_rng(seed)
     mf = MultiFleet(channels=1, capacity_per_bucket=3,
                     target_chunk_frames=300, use_pallas=False,
                     fixed_point=fixed)
