@@ -761,8 +761,14 @@ class BatchedResampler(ZeroFillDegradation):
         self.out_rate = out_rate
         self.fixed_point = bool(fixed_point)
         g = math.gcd(in_rate, out_rate)
-        self.spec = fd.design_filter(in_rate // g, out_rate // g, quality,
-                                     fixed_point=fixed_point)
+        try:
+            self.spec = fd.design_filter(in_rate // g, out_rate // g,
+                                         quality, fixed_point=fixed_point)
+        except fd.OverflowArgError:
+            # the C build fails its INT_MAX guards here and init returns
+            # RESAMPLER_ERR_OVERFLOW (resample.c:643-656) — surface the
+            # same error code, like ResamplerCore._update_filter
+            raise ResamplerError(ResamplerErrorCode.OVERFLOW)
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.B = n_streams * channels

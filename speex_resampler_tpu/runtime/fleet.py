@@ -52,8 +52,15 @@ class FleetResampler(ZeroFillDegradation):
         self.B = n_streams * channels
         self._active = [True] * n_streams
         g = math.gcd(in_rate, out_rate)
-        self.spec = fd.design_filter(in_rate // g, out_rate // g, quality,
-                                     fixed_point=fixed_point)
+        try:
+            self.spec = fd.design_filter(in_rate // g, out_rate // g,
+                                         quality, fixed_point=fixed_point)
+        except fd.OverflowArgError:
+            # C's init fails its INT_MAX guards with
+            # RESAMPLER_ERR_OVERFLOW (resample.c:643-656); callers (e.g.
+            # MultiFleet.set_stream_rate's transactional destination-
+            # bucket reservation) rely on ResamplerError, not ValueError
+            raise ResamplerError(ResamplerErrorCode.OVERFLOW)
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         max_in = (None if max_latency_ms is None

@@ -178,6 +178,69 @@ def test_multifleet_remove_stream_drops_staged():
     assert banked_before > 0
 
 
+def test_multifleet_switch_to_overflowing_config_is_transactional():
+    """Switching to a config the C build rejects outright (update_filter's
+    INT_MAX guards on an extreme downsample, resample.c:643-656) must
+    raise ResamplerError(OVERFLOW) — not leak filter_design's ValueError —
+    and must not touch the stream at all: the destination-bucket
+    reservation fails before any teardown, so the lane keeps lockstep
+    serving with no transition.  (Found by coverage probing: the eager
+    FleetResampler construction for the new bucket leaked
+    OverflowArgError past the transactional handling.)"""
+    rng = np.random.default_rng(23)
+    x1 = (rng.integers(-20000, 20000, size=(2000, 1))).astype(np.int16)
+    x2 = (rng.integers(-20000, 20000, size=(2000, 1))).astype(np.int16)
+    mf = MultiFleet(channels=1, capacity_per_bucket=2,
+                    target_chunk_frames=512, use_pallas=False)
+    mf.add_stream("s", 24000, 48000, 5)
+    mf.push("s", x1)
+    mf.poll()
+    with pytest.raises(ResamplerError):
+        mf.set_stream_rate("s", 4294967291, 8000)
+    assert mf._streams["s"].transition is None   # recovery completed
+    assert mf._streams["s"].slot is not None     # lane re-seeded
+    mf.push("s", x2)
+    mf.poll()
+    mf.flush()
+    got = mf.pull("s")
+
+    ref = ResamplerCore(1, 24000, 48000, 24000, 48000, 5)
+    want = np.concatenate([ref.process_interleaved(x1, 10 ** 9),
+                           ref.process_interleaved(x2, 10 ** 9)])
+    assert got.shape == want.shape, (got.shape, want.shape)
+    assert_lsb_close(got.ravel(), want.ravel())
+
+
+def test_multifleet_end_stream_during_live_transition_collects_tail():
+    """end_stream while a rate-switch transition is still live (phase not
+    yet back to 0) must drain the transition exactly: outputs already
+    pumped plus the finish() tail equal the reference core replay."""
+    rng = np.random.default_rng(29)
+    x1 = (rng.integers(-20000, 20000, size=(1999, 1))).astype(np.int16)
+    x2 = (rng.integers(-20000, 20000, size=(3, 1))).astype(np.int16)
+    mf = MultiFleet(channels=1, capacity_per_bucket=2,
+                    target_chunk_frames=512, use_pallas=False)
+    mf.add_stream("s", 44100, 48000, 7)
+    mf.push("s", x1)                  # drain leaves a nonzero frac, so the
+    mf.set_stream_rate("s", 48000, 44100, 5)   # switch transition is live
+    mf.push("s", x2)                  # 3 frames: fewer than k0 outputs
+    assert mf._streams["s"].transition is not None
+    mf.end_stream("s")
+    got = mf.pull("s")
+
+    ref = ResamplerCore(1, 44100, 48000, 44100, 48000, 7)
+    p1 = ref.process_interleaved(x1, 10 ** 9)
+    ref.set_rate(48000, 44100)
+    ref.set_quality(5)
+    p2 = ref.process_interleaved(x2, 10 ** 9)
+    tail = ref.process_native_interleaved(
+        np.zeros((0, 1), np.int16), 10 ** 9)
+    want = np.concatenate([p1, p2] + ([tail] if tail.shape[0] else []))
+    m = min(got.shape[0], want.shape[0])
+    assert abs(got.shape[0] - want.shape[0]) <= 1, (got.shape, want.shape)
+    assert_lsb_close(got[:m].ravel(), want[:m].ravel())
+
+
 @pytest.mark.parametrize("fixed", [False, True])
 def test_multifleet_switch_before_any_data_is_unstarted(fixed):
     """set_stream_rate on a stream that never pushed data must follow C's

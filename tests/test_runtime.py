@@ -212,3 +212,29 @@ def test_native_stager_threads_match_serial():
         else:
             assert np.array_equal(fslab, ref_flush[0])
             assert np.array_equal(staged, ref_flush[1])
+import numpy as np
+
+from speex_resampler_tpu.runtime import FleetResampler
+
+
+def test_fleet_poll_max_launches():
+    """poll(max_launches=N) runs at most N ready launches and leaves the
+    rest staged; the banked output is identical to one unbounded poll."""
+    rng = np.random.default_rng(31)
+    S, C = 4, 1
+    a = FleetResampler(S, C, 24000, 48000, 5, target_chunk_frames=300,
+                       use_pallas=False)
+    b = FleetResampler(S, C, 24000, 48000, 5, target_chunk_frames=300,
+                       use_pallas=False)
+    q = a.bspec.in_per_launch
+    frames = (rng.integers(-20000, 20000, size=(S, 3 * q, C))
+              ).astype(np.int16)
+    for s in range(S):
+        a.push(s, frames[s])
+        b.push(s, frames[s])
+    assert a.poll(max_launches=1) == 1
+    assert int(a.staged().min()) == 2 * q      # two quanta still staged
+    assert a.poll(max_launches=5) == 2         # capped by readiness
+    assert b.poll() == 3
+    for s in range(S):
+        assert np.array_equal(a.pull(s), b.pull(s))
