@@ -24,6 +24,7 @@
 #include <memory>
 #include <mutex>
 #include <new>
+#include <shared_mutex>
 #include <thread>
 #include <vector>
 
@@ -150,6 +151,10 @@ struct Runtime {
   std::vector<std::vector<uint8_t>> carry;  // per stream, byte-alignment
   std::vector<uint8_t> active;            // slots excluded from lockstep
   std::unique_ptr<Pool> pool;             // gather/scatter parallelism
+  // srt_set_threads swaps the pool while fill/unpack may be running on
+  // other engine threads (MultiFleet buckets are served concurrently):
+  // writers (the swap) take this exclusively, pool users share it.
+  std::shared_mutex pool_mu;
 };
 
 constexpr long kTimeTile = 16;  // rows per cache-blocked transpose tile
@@ -215,10 +220,12 @@ void* srt_create(int n_streams, int channels, long n_in_per_launch) {
 }
 
 // Resize the gather/scatter thread pool (default: hardware concurrency).
-// Returns the effective size.  Not safe concurrently with fill/unpack.
+// Returns the effective size.  Safe concurrently with fill/unpack: the
+// swap excludes in-flight pool users via Runtime::pool_mu.
 int srt_set_threads(void* h, int n) {
   auto* rt = static_cast<Runtime*>(h);
   if (!rt || n < 1) return -1;
+  std::unique_lock<std::shared_mutex> lk(rt->pool_mu);
   rt->pool.reset(new Pool(n));
   return rt->pool->size();
 }
@@ -265,6 +272,16 @@ long srt_push_bytes(void* h, int stream, const uint8_t* bytes, long n) {
   if (total - used > 0)
     carry.assign(p + used, p + total);
   return frames;
+}
+
+// Staged whole frames for ONE stream (O(1); the array form below is O(S)
+// and too heavy for a per-push backpressure check).  Returns -1 on a bad
+// stream index.
+long srt_staged_one(void* h, int stream) {
+  auto* rt = static_cast<Runtime*>(h);
+  if (!rt || stream < 0 || stream >= rt->n_streams) return -1;
+  return static_cast<long>(rt->fifo[static_cast<size_t>(stream)].size()) /
+         rt->channels;
 }
 
 // Staged whole frames per stream (out: long[n_streams]).
@@ -325,6 +342,7 @@ int srt_fill_launch(void* h, int16_t* out) {
     srcs[static_cast<size_t>(s)] = rt->active[static_cast<size_t>(s)]
         ? rt->fifo[static_cast<size_t>(s)].front() : nullptr;
   // parallel over time-row ranges: each range's slab writes are disjoint
+  std::shared_lock<std::shared_mutex> pool_lk(rt->pool_mu);
   rt->pool->Run(n_in, /*grain=*/256, [&](long t0, long t1) {
     gather_rows(rt->n_streams, C, B, t0, t1, out,
                 [&](int s) { return srcs[static_cast<size_t>(s)]; });
@@ -357,6 +375,7 @@ long srt_fill_flush(void* h, int16_t* out, long* staged_out) {
   std::memset(out, 0, static_cast<size_t>(n_in) * B * 2);
   // parallel over streams (column ranges are disjoint; ragged per-stream
   // lengths load-balance through the pool's chunked work queue)
+  std::shared_lock<std::shared_mutex> pool_lk(rt->pool_mu);
   rt->pool->Run(rt->n_streams, /*grain=*/8, [&](long s0, long s1) {
     for (long s = s0; s < s1; ++s) {
       const long f = staged_out[s];
@@ -421,6 +440,7 @@ void srt_unpack_all(void* h, const int16_t* y, long n_out, int16_t* dst) {
   const long B = rt->B;
   // parallel over time-row tiles; each worker range walks whole tiles so
   // per-stream destination runs stay contiguous
+  std::shared_lock<std::shared_mutex> pool_lk(rt->pool_mu);
   rt->pool->Run((n_out + kTimeTile - 1) / kTimeTile, /*grain=*/16,
                 [&](long k0, long k1) {
   for (long t0 = k0 * kTimeTile; t0 < k1 * kTimeTile && t0 < n_out;

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import threading
 from functools import lru_cache
 
 import numpy as np
@@ -45,6 +46,20 @@ _UINT32_MAX = 0xFFFFFFFF
 
 F32 = np.float32
 F64 = np.float64
+
+# Concurrency contract: design_filter is lru_cache'd, so FilterSpec
+# instances (and their lazily-built tables / the phase-tiled weight cache
+# parallel/batch.py attaches) are SHARED across engines.  Server threads
+# construct engines for the same config concurrently (MultiFleet buckets
+# are built on demand from request threads), so every mutation of a shared
+# spec — the lazy phase_table / interp tensors here, and batch.py's
+# spec-attached ``_ptw_cache`` — serializes on this single re-entrant lock
+# (re-entrant because the tiled-weight builder reads the lazy tables while
+# holding it).  Tables are immutable once built, so lock-free READS of an
+# already-populated attribute stay safe; only build-and-attach races are
+# possible, and the lock removes them.  Pinned by
+# tests/test_threaded.py.
+SPEC_BUILD_LOCK = threading.RLock()
 
 
 class OverflowArgError(ValueError):
@@ -434,12 +449,15 @@ class FilterSpec:
         int16, direct path only — fixed interp keeps a (0, N) sentinel so
         accumulator-mean shapes stay out of phase_table consumers)."""
         if self._phase_table is None:
-            if self.fixed_point and not self.use_direct:
-                t = np.zeros((0, self.filt_len), dtype=np.int16)
-            else:
-                t = effective_phase_table(self.sinc_table, self.filt_len,
-                                          self.oversample, self.den)
-            object.__setattr__(self, "_phase_table", t)
+            with SPEC_BUILD_LOCK:
+                if self._phase_table is None:  # double-checked under lock
+                    if self.fixed_point and not self.use_direct:
+                        t = np.zeros((0, self.filt_len), dtype=np.int16)
+                    else:
+                        t = effective_phase_table(
+                            self.sinc_table, self.filt_len,
+                            self.oversample, self.den)
+                    object.__setattr__(self, "_phase_table", t)
         return self._phase_table
 
     @property
@@ -459,10 +477,16 @@ class FilterSpec:
     def _ensure_interp(self) -> None:
         if self._interp_taps is None and self.fixed_point \
                 and not self.use_direct:
-            taps, coef = fixed_interp_tensors(self.sinc_table, self.filt_len,
-                                              self.oversample, self.den)
-            object.__setattr__(self, "_interp_taps", taps)
-            object.__setattr__(self, "_interp_coef", coef)
+            with SPEC_BUILD_LOCK:
+                if self._interp_taps is not None:  # lost the build race
+                    return
+                taps, coef = fixed_interp_tensors(
+                    self.sinc_table, self.filt_len, self.oversample,
+                    self.den)
+                # coef first: _interp_taps is the "built" gate lock-free
+                # readers check, so it must be attached LAST
+                object.__setattr__(self, "_interp_coef", coef)
+                object.__setattr__(self, "_interp_taps", taps)
 
     def _materialize_tables(self) -> bool:
         """Whether full-table indexing is the right way to serve row

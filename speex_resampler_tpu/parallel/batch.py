@@ -33,6 +33,7 @@ parallelism over ICI with zero collectives in the math (SURVEY.md §5).
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import functools
 import math
@@ -195,26 +196,32 @@ def _tiled_weights(spec: fd.FilterSpec, f0: int = 0, component: int = 0):
     The geometry probe, make_batched_step, and the capped re-quantize all
     need the same table; without the cache a near-256 MB streamed table
     would be rebuilt 2-4x per engine construction.  Bounded at 4 entries
-    (serving rebuilds at a handful of f0s after skip_zeros/flush)."""
-    cache = getattr(spec, "_ptw_cache", None)
-    if cache is None:
-        cache = {}
-        object.__setattr__(spec, "_ptw_cache", cache)
-    key = (f0, component)
-    if key not in cache:
-        if len(cache) >= 4:
-            cache.pop(next(iter(cache)))
-        H = _hist_rows_tiled(spec.filt_len)
-        pt = spec.phase_table
-        if spec.fixed_point and not spec.use_direct:
-            # fixed interpolate carries 4 accumulator tap planes; any
-            # component yields the same geometry (offsets/S/K depend on
-            # shapes only)
-            pt = spec.interp_taps[:, component, :]
-        cache[key] = ph.build_phase_tiled_weights(
-            pt, spec.num, spec.den, f0,
-            origin_shift=H - (spec.filt_len - 1))
-    return cache[key]
+    (serving rebuilds at a handful of f0s after skip_zeros/flush).
+
+    design_filter is lru_cache'd, so the spec — and this cache — is shared
+    across engines; concurrent engine construction from server threads
+    serializes build/eviction on fd.SPEC_BUILD_LOCK (the same lock the
+    spec's lazy tables take; see its contract in ops/filter_design.py)."""
+    with fd.SPEC_BUILD_LOCK:
+        cache = getattr(spec, "_ptw_cache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(spec, "_ptw_cache", cache)
+        key = (f0, component)
+        if key not in cache:
+            if len(cache) >= 4:
+                cache.pop(next(iter(cache)))
+            H = _hist_rows_tiled(spec.filt_len)
+            pt = spec.phase_table
+            if spec.fixed_point and not spec.use_direct:
+                # fixed interpolate carries 4 accumulator tap planes; any
+                # component yields the same geometry (offsets/S/K depend on
+                # shapes only)
+                pt = spec.interp_taps[:, component, :]
+            cache[key] = ph.build_phase_tiled_weights(
+                pt, spec.num, spec.den, f0,
+                origin_shift=H - (spec.filt_len - 1))
+        return cache[key]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -577,9 +584,11 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
 
     if bspec.kernel == "gather":
         # pathological huge-den ratios: weight-free per-output tap gather.
-        # Rare serving path — mesh sharding is not supported here.
-        if mesh is not None:
-            raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
+        # Plain jnp, so the lane axis shards across a mesh exactly like
+        # the other kernels: _wrap's shard_map splits hist/x/y on lanes
+        # and replicates (taps, starts[, coef]) — streams are
+        # share-nothing, zero collectives (tests/test_batch.py pins
+        # 8-virtual-device bit-equality at 44100->44101).
         num, den, f0 = spec.num, spec.den, bspec.f0
         if spec.fixed_point:
             # on-device exact formulation (fm.resample_gather_fixed):
@@ -615,7 +624,7 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
                                              tile=tile)
                 return X[n_in:], y[:, :n_out].T
 
-            return BatchedStep(fn=jax.jit(step), w=w_fix,
+            return BatchedStep(fn=_wrap(step), w=w_fix,
                                hist_rows=N - 1, chunk_rows=n_in,
                                zero_tail=0, scheme="fixed")
 
@@ -634,7 +643,7 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
             y = fm.resample_gather(X.T, taps, starts, tile=tile)
             return X[n_in:], y[:, :n_out].T
 
-        return BatchedStep(fn=jax.jit(step),
+        return BatchedStep(fn=_wrap(step),
                            w=(jnp.asarray(taps_np), jnp.asarray(starts_np)),
                            hist_rows=N - 1, chunk_rows=n_in, zero_tail=0,
                            scheme="highest")
@@ -709,6 +718,71 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
 
     return BatchedStep(fn=_wrap(step), w=jnp.asarray(w_np),
                        hist_rows=N - 1, chunk_rows=n_in, zero_tail=0)
+
+
+class _HostFifo:
+    """Staging FIFO of time-major [n, B] int16 rows, O(1) amortized per
+    push (a deque of chunks + a consume offset into the head).
+
+    Replaces a per-call ``np.concatenate`` that re-copied the WHOLE
+    staging buffer on every ``process()`` — the Transform-style cadence of
+    many small pushes was quadratic.  Mirrors the reference's
+    O(1)-per-chunk staging through the wasm heap (src/index.ts:71-92);
+    the native C++ FIFO (speex_tpu_runtime.cpp) does the same for the
+    ragged FleetResampler path.
+    """
+
+    def __init__(self, B: int):
+        self.B = B
+        self._parts: collections.deque[np.ndarray] = collections.deque()
+        self._off = 0      # consumed rows of the head part
+        self._n = 0
+
+    def __len__(self) -> int:
+        return self._n
+
+    def push(self, x: np.ndarray, owned: bool = False) -> None:
+        """``owned=True`` skips the defensive copy when the caller hands
+        over a buffer nothing else aliases (the copy is the same one the
+        reference makes into HEAPU8, src/index.ts:92)."""
+        if not x.shape[0]:
+            return
+        if not owned:
+            x = x.copy()
+        self._parts.append(x)
+        self._n += x.shape[0]
+
+    def pop_into(self, out: np.ndarray, n: int) -> None:
+        """Consume n rows directly into ``out[:n]`` (one copy, straight
+        into the launch slab)."""
+        assert self._n >= n, (self._n, n)
+        w = 0
+        while w < n:
+            head = self._parts[0]
+            take = min(head.shape[0] - self._off, n - w)
+            out[w:w + take] = head[self._off:self._off + take]
+            w += take
+            self._off += take
+            if self._off == head.shape[0]:
+                self._parts.popleft()
+                self._off = 0
+        self._n -= n
+
+    def pop_all(self) -> np.ndarray:
+        """Consume everything as one array (cold paths: drain/flush)."""
+        out = np.empty((self._n, self.B), dtype=np.int16)
+        self.pop_into(out, self._n)
+        return out
+
+    def peek_all(self) -> np.ndarray:
+        """Snapshot without consuming (checkpointing)."""
+        if not self._parts:
+            return np.zeros((0, self.B), dtype=np.int16)
+        parts = list(self._parts)
+        parts[0] = parts[0][self._off:]
+        if len(parts) == 1:
+            return parts[0].copy()
+        return np.concatenate(parts, axis=0)
 
 
 class BatchedResampler(ZeroFillDegradation):
@@ -805,8 +879,8 @@ class BatchedResampler(ZeroFillDegradation):
             hist = jax.device_put(hist, self._lane_sharding)
         self._hist = hist
         self._skip = 0
-        # staging buffer of not-yet-launched input frames, [*, B] host int16
-        self._staged = np.zeros((0, self.B), dtype=np.int16)
+        # staging FIFO of not-yet-launched input frames, [*, B] host int16
+        self._staged = _HostFifo(self.B)
         # outputs banked by a partial drain (skip_zeros/flush), surfaced on
         # the next process()/flush()
         self._carry_out: list[np.ndarray] = []
@@ -885,12 +959,11 @@ class BatchedResampler(ZeroFillDegradation):
         filter history is recomputed host-side from (hist ++ staged), so
         the launch's zero padding never contaminates state and the engine
         can CONTINUE exactly after a drain."""
-        s = self._staged.shape[0]
+        s = len(self._staged)
         if s == 0:
             return
         q = self.bspec.in_per_launch
-        staged, self._staged = self._staged, np.zeros((0, self.B),
-                                                      dtype=np.int16)
+        staged = self._staged.pop_all()
         num, den = self.spec.num, self.spec.den
         m = ph.producible_outputs(s, 0, self._f0, num, den)
         hist_host = self._hist_host()
@@ -940,7 +1013,7 @@ class BatchedResampler(ZeroFillDegradation):
             if self._lane_sharding is not None:
                 self._hist = jax.device_put(self._hist,
                                             self._lane_sharding)
-        self._staged = np.zeros((0, self.B), dtype=np.int16)
+        self._staged = _HostFifo(self.B)
         self._skip = 0
         self._carry_out = []
 
@@ -953,7 +1026,7 @@ class BatchedResampler(ZeroFillDegradation):
             "fixed_point": self.fixed_point,
             "n_streams": self.n_streams, "channels": self.channels,
             "hist": self._hist_host(),
-            "staged": self._staged.copy(),
+            "staged": self._staged.peek_all(),
             "skip": self._skip,
             "f0": self._f0,
             "degraded": self._degraded,
@@ -979,7 +1052,9 @@ class BatchedResampler(ZeroFillDegradation):
             if self._lane_sharding is not None:
                 hist = jax.device_put(hist, self._lane_sharding)
             self._hist = hist
-        self._staged = np.array(state["staged"], dtype=np.int16)
+        self._staged = _HostFifo(self.B)
+        self._staged.push(np.array(state["staged"], dtype=np.int16),
+                          owned=True)
         self._skip = int(state["skip"])
         self._carry_out = [np.array(o, dtype=np.int16)
                            for o in state.get("carry_out", [])]
@@ -1008,16 +1083,21 @@ class BatchedResampler(ZeroFillDegradation):
                                              axis=0)
             x = x[k:]
             self._skip -= k
-        self._staged = np.concatenate([self._staged, x], axis=0)
+        # the 3-D frame layout was already copied by _to_lanes; hand the
+        # FIFO ownership so only genuinely-aliasing 2-D views get the
+        # defensive copy
+        self._staged.push(x, owned=not np.may_share_memory(x, frames))
         outs, self._carry_out = self._carry_out, []
         q = self.bspec.in_per_launch
         pending = None
-        while self._staged.shape[0] >= q:
+        while len(self._staged) >= q:
             # depth-1 dispatch pipeline: launch i+1 is dispatched before
             # launch i's result is pulled, overlapping device compute with
             # host readback (dispatch is async; _recv blocks properly)
-            chunk, self._staged = self._staged[:q], self._staged[q:]
-            self._hist, y = self._launch(chunk)
+            slab = self._slabs[self._slab_i]
+            self._slab_i ^= 1
+            self._staged.pop_into(slab, q)  # straight into the launch slab
+            self._hist, y = self._launch(slab)
             if pending is not None:
                 outs.append(self._recv(pending))
             pending = y

@@ -41,8 +41,23 @@ class FleetResampler(ZeroFillDegradation):
                  use_pallas: bool | None = None,
                  pallas_interpret: bool = False,
                  fixed_point: bool = False,
-                 max_latency_ms: float | None = None):
+                 max_latency_ms: float | None = None,
+                 max_staged_frames: int | None = None,
+                 max_banked_frames: int | None = None):
+        """``max_staged_frames`` / ``max_banked_frames`` are per-stream
+        high-watermarks bounding host memory (the reference's Node
+        Transform inherits stream backpressure, src/index.ts:121-162;
+        these are its explicit analog — see docs/serving.md
+        "Backpressure").  A push that would exceed the staging watermark
+        raises ALLOC_FAILED (callers poll ``writable()`` to pause the
+        producer instead); ``poll()`` stops launching while any active
+        stream's banked output exceeds the banked watermark, so a
+        consumer that never pulls stalls the pipeline instead of growing
+        it.  ``None`` (default) = unbounded, the round-3 behavior."""
         if n_streams <= 0 or channels <= 0 or in_rate <= 0 or out_rate <= 0:
+            raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
+        if (max_staged_frames is not None and max_staged_frames <= 0) or \
+                (max_banked_frames is not None and max_banked_frames <= 0):
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
         self.n_streams = n_streams
         self.channels = channels
@@ -68,6 +83,15 @@ class FleetResampler(ZeroFillDegradation):
         self.bspec = _launch_geometry(self.spec, target_chunk_frames,
                                       use_pallas=use_pallas,
                                       max_in_frames=max_in)
+        if max_staged_frames is not None \
+                and max_staged_frames < self.bspec.in_per_launch:
+            # a staging watermark below the launch quantum means lockstep
+            # readiness can never be reached — a config error, not a
+            # runtime stall
+            raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
+        self.max_staged_frames = max_staged_frames
+        self.max_banked_frames = max_banked_frames
+        self._banked = [0] * n_streams  # banked output frames per stream
         self._step = make_batched_step(
             self.spec, self.bspec, use_pallas=use_pallas,
             pallas_interpret=pallas_interpret)
@@ -95,19 +119,45 @@ class FleetResampler(ZeroFillDegradation):
     # -- ingress ----------------------------------------------------------
 
     def push(self, stream: int, frames: np.ndarray) -> None:
-        """frames: int16 [n, C] interleaved for one stream."""
+        """frames: int16 [n, C] interleaved for one stream.
+
+        Raises ALLOC_FAILED when accepting would cross the per-stream
+        ``max_staged_frames`` watermark (backpressure; check
+        ``writable()`` first to pause the producer instead)."""
         if self._flushed:
             # lane histories hold flush padding; resampling new audio
             # against them would be silently wrong
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
+        self._check_watermark(stream, np.asarray(frames).shape[0])
         self._stager.push(stream, frames)
 
     def push_bytes(self, stream: int, data: bytes) -> int:
         """Raw s16 PCM bytes; partial frames carry over (Transform-stream
-        alignment semantics, src/index.ts:148-154)."""
+        alignment semantics, src/index.ts:148-154).  Watermark semantics
+        as in ``push`` (the check counts whole frames the bytes complete,
+        including the pending alignment carry)."""
         if self._flushed:
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
+        if self.max_staged_frames is not None:
+            fb = self.channels * 2
+            n = (len(self._stager.carry(stream)) + len(data)) // fb
+            self._check_watermark(stream, n)
         return self._stager.push_bytes(stream, data)
+
+    def _check_watermark(self, stream: int, n_frames: int) -> None:
+        if self.max_staged_frames is None:
+            return
+        if self._stager.staged_one(stream) + n_frames \
+                > self.max_staged_frames:
+            raise ResamplerError(ResamplerErrorCode.ALLOC_FAILED)
+
+    def writable(self, stream: int) -> bool:
+        """Transform-stream pause signal: False once the stream's staging
+        is at/over the watermark (push of any further full frame would
+        raise).  Always True when unbounded."""
+        if self.max_staged_frames is None:
+            return True
+        return self._stager.staged_one(stream) < self.max_staged_frames
 
     def staged(self) -> np.ndarray:
         return self._stager.staged()
@@ -119,12 +169,21 @@ class FleetResampler(ZeroFillDegradation):
 
         Launch i+1 is dispatched before launch i's result is pulled back,
         so device compute overlaps host readback/unpack (device dispatch is
-        async; only the final to_host blocks)."""
+        async; only the final to_host blocks).
+
+        With ``max_banked_frames`` set, launching PAUSES while any active
+        stream's banked output sits at/over the watermark — the consumer
+        must pull before more output is produced (bounded memory under a
+        never-pulling consumer; staging then backs up to ITS watermark
+        and pushes start raising)."""
         n = self._stager.ready_launches()
         if max_launches is not None:
             n = min(n, max_launches)
         pending = None
+        ran = 0
         for _ in range(n):
+            if self._output_paused():
+                break
             slab = self._slabs[self._slab_i]
             self._slab_i ^= 1
             self._stager.fill_launch(out=slab)
@@ -132,9 +191,16 @@ class FleetResampler(ZeroFillDegradation):
             if pending is not None:
                 self._bank(self._recv(pending), None)
             pending = y
+            ran += 1
         if pending is not None:
             self._bank(self._recv(pending), None)
-        return n
+        return ran
+
+    def _output_paused(self) -> bool:
+        if self.max_banked_frames is None:
+            return False
+        return any(b >= self.max_banked_frames
+                   for b, a in zip(self._banked, self._active) if a)
 
     def flush(self) -> None:
         """END-OF-STREAM drain: process ALL staged frames (zero-padding
@@ -206,6 +272,7 @@ class FleetResampler(ZeroFillDegradation):
                 o = o[:per_stream[s]]
             if o.shape[0]:
                 self._out[s].append(o)
+                self._banked[s] += o.shape[0]
 
     # -- slot management (used by MultiFleet for dynamic occupancy) --------
 
@@ -225,6 +292,7 @@ class FleetResampler(ZeroFillDegradation):
         else:
             self._hist = self._hist.at[:, lane:lane + c].set(jnp.int16(0))
         self._out[slot] = []
+        self._banked[slot] = 0
 
     def seed_lane_history(self, slot: int, hist: np.ndarray) -> None:
         """Adopt filter memory for one lane (inverse of lane_history):
@@ -311,6 +379,8 @@ class FleetResampler(ZeroFillDegradation):
                 self._stager.push_bytes(s, state["carry"][s])
         self._out = [[np.array(o) for o in outs]
                      for outs in state["banked"]]
+        self._banked = [sum(o.shape[0] for o in outs)
+                        for outs in self._out]
 
     # -- egress -----------------------------------------------------------
 
@@ -327,6 +397,7 @@ class FleetResampler(ZeroFillDegradation):
         """Drain banked output for one stream: int16 [n, C]."""
         outs = self._out[stream]
         self._out[stream] = []
+        self._banked[stream] = 0
         if not outs:
             return np.zeros((0, self.channels), dtype=np.int16)
         return np.concatenate(outs, axis=0)

@@ -174,7 +174,15 @@ class MultiFleet:
                  use_pallas: bool | None = None,
                  pallas_interpret: bool = False,
                  fixed_point: bool = False,
-                 max_latency_ms: float | None = None):
+                 max_latency_ms: float | None = None,
+                 max_staged_frames: int | None = None,
+                 max_banked_frames: int | None = None):
+        """``max_staged_frames`` / ``max_banked_frames`` bound per-stream
+        host memory in every bucket (see FleetResampler's backpressure
+        contract / docs/serving.md).  The banked watermark also bounds a
+        stream's rate-switch ``carryover`` buffer: a push that would grow
+        it past the watermark raises ALLOC_FAILED until the caller
+        pulls."""
         self.channels = channels
         self.capacity = capacity_per_bucket
         self._target = target_chunk_frames
@@ -182,8 +190,23 @@ class MultiFleet:
         self._use_pallas = use_pallas
         self._interpret = pallas_interpret
         self.fixed_point = bool(fixed_point)
+        self.max_staged_frames = max_staged_frames
+        self.max_banked_frames = max_banked_frames
         self._buckets: dict[tuple, _Bucket] = {}
         self._streams: dict[object, _Stream] = {}
+
+    def _new_fleet(self, in_rate: int, out_rate: int,
+                   quality: int) -> FleetResampler:
+        """One bucket engine with this MultiFleet's shared knobs."""
+        return FleetResampler(
+            self.capacity, self.channels, in_rate, out_rate, quality,
+            target_chunk_frames=self._target,
+            use_pallas=self._use_pallas,
+            pallas_interpret=self._interpret,
+            fixed_point=self.fixed_point,
+            max_latency_ms=self._max_latency_ms,
+            max_staged_frames=self.max_staged_frames,
+            max_banked_frames=self.max_banked_frames)
 
     # -- stream lifecycle --------------------------------------------------
 
@@ -193,13 +216,7 @@ class MultiFleet:
         key = (in_rate, out_rate, quality)
         b = self._buckets.get(key)
         if b is None:
-            b = _Bucket(FleetResampler(
-                self.capacity, self.channels, in_rate, out_rate, quality,
-                target_chunk_frames=self._target,
-                use_pallas=self._use_pallas,
-                pallas_interpret=self._interpret,
-                fixed_point=self.fixed_point,
-                max_latency_ms=self._max_latency_ms))
+            b = _Bucket(self._new_fleet(in_rate, out_rate, quality))
             self._buckets[key] = b
         if not b.free:
             raise ResamplerError(ResamplerErrorCode.ALLOC_FAILED)
@@ -286,13 +303,7 @@ class MultiFleet:
         # full target bucket must fail up front, not after the drain.
         b_new = self._buckets.get(new_key)
         if b_new is None:
-            b_new = _Bucket(FleetResampler(
-                self.capacity, self.channels, in_rate, out_rate, quality,
-                target_chunk_frames=self._target,
-                use_pallas=self._use_pallas,
-                pallas_interpret=self._interpret,
-                fixed_point=self.fixed_point,
-                max_latency_ms=self._max_latency_ms))
+            b_new = _Bucket(self._new_fleet(in_rate, out_rate, quality))
             self._buckets[new_key] = b_new
         frees_own = (new_key == st.key and st.slot is not None)
         if not b_new.free and not frees_own:
@@ -396,12 +407,31 @@ class MultiFleet:
 
     # -- dataflow ------------------------------------------------------------
 
+    def writable(self, sid) -> bool:
+        """Transform-stream pause signal (see FleetResampler.writable);
+        mid-transition it reflects the carryover bound instead."""
+        st = self._stream(sid)
+        if st.ended:
+            return False
+        if st.transition is not None or st.slot is None:
+            return not self._carryover_full(st)
+        return self._buckets[st.key].fleet.writable(st.slot)
+
+    def _carryover_full(self, st: _Stream) -> bool:
+        return (self.max_banked_frames is not None
+                and st.carryover is not None
+                and len(st.carryover) >= self.max_banked_frames)
+
     def push(self, sid, frames: np.ndarray) -> None:
         st = self._stream(sid)
         if st.ended:
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
         frames = np.asarray(frames, dtype=np.int16)
         if st.transition is not None:
+            # a transition banks straight into carryover, bypassing the
+            # bucket; the banked watermark bounds it the same way
+            if self._carryover_full(st):
+                raise ResamplerError(ResamplerErrorCode.ALLOC_FAILED)
             for y in st.transition.feed(frames):
                 self._add_carryover(st, y)
             if st.transition.done:
@@ -512,13 +542,7 @@ class MultiFleet:
         self._buckets = {}
         for k, bs in state["buckets"].items():
             ir, orr, q = k
-            b = _Bucket(FleetResampler(
-                self.capacity, self.channels, ir, orr, q,
-                target_chunk_frames=self._target,
-                use_pallas=self._use_pallas,
-                pallas_interpret=self._interpret,
-                fixed_point=self.fixed_point,
-                max_latency_ms=self._max_latency_ms))
+            b = _Bucket(self._new_fleet(ir, orr, q))
             # load AFTER _Bucket's blanket deactivation: it restores the
             # true per-slot occupancy along with histories and staging
             b.fleet.load_state_dict(bs["fleet"])

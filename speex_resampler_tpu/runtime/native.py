@@ -75,6 +75,8 @@ def load_runtime():
     lib.srt_push_bytes.restype = c.c_long
     lib.srt_push_bytes.argtypes = [c.c_void_p, c.c_int, c.c_void_p, c.c_long]
     lib.srt_staged.argtypes = [c.c_void_p, c.c_void_p]
+    lib.srt_staged_one.restype = c.c_long
+    lib.srt_staged_one.argtypes = [c.c_void_p, c.c_int]
     lib.srt_set_active.restype = c.c_int
     lib.srt_set_active.argtypes = [c.c_void_p, c.c_int, c.c_int]
     lib.srt_set_threads.restype = c.c_int
@@ -162,6 +164,13 @@ class NativeStager:
         out = np.zeros(self.n_streams, dtype=np.int64)
         self._lib.srt_staged(self._h, _ptr(out))
         return out
+
+    def staged_one(self, stream: int) -> int:
+        """Staged frames for ONE stream, O(1) (per-push backpressure)."""
+        n = int(self._lib.srt_staged_one(self._h, stream))
+        if n < 0:
+            raise IndexError(f"bad stream {stream}")
+        return n
 
     def ready_launches(self) -> int:
         return int(self._lib.srt_ready_launches(self._h))
@@ -270,6 +279,9 @@ class PyStager:
 
     def staged(self) -> np.ndarray:
         return np.array([b.shape[0] for b in self._bufs], dtype=np.int64)
+
+    def staged_one(self, stream: int) -> int:
+        return int(self._bufs[stream].shape[0])
 
     def ready_launches(self) -> int:
         act = [b.shape[0] for b, a in zip(self._bufs, self._active) if a]

@@ -213,6 +213,42 @@ def test_batched_mesh_sharded_pallas_interpret():
     assert np.array_equal(a, b)
 
 
+@pytest.mark.parametrize("fixed", [False, True])
+def test_batched_mesh_sharded_gather_geometry(fixed):
+    """The gather geometry (pathological huge-den ratios, 44100->44101)
+    under an 8-device mesh: plain jnp, so shard_map splits the lane axis
+    with replicated (taps, starts[, coef]) (round-3 review item: this was
+    the one config family refusing mesh=).
+
+    Equality contract matches the universes: FIXED is bit-identical under
+    any resharding (wrapping int32 accumulation is order-free); FLOAT
+    holds the repo-wide <=1 LSB / rare-ties bound (the per-shard batch
+    width changes the einsum's compiled f32 accumulation grouping —
+    measured 49 rounding-boundary ties over 368k samples on the CPU
+    backend, max |err| 1)."""
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = jax.sharding.Mesh(np.array(devs[:8]), ("streams",))
+    S, C = 8, 1
+    frames = _random_frames(S, 46000, C, seed=13)
+
+    plain = BatchedResampler(S, C, 44100, 44101, 1, use_pallas=True,
+                             target_chunk_frames=44100, fixed_point=fixed)
+    assert plain.bspec.kernel == "gather"
+    a = np.concatenate([plain.process(frames), plain.flush()], axis=1)
+
+    sharded = BatchedResampler(S, C, 44100, 44101, 1, use_pallas=True,
+                               target_chunk_frames=44100,
+                               fixed_point=fixed, mesh=mesh)
+    assert sharded.bspec.kernel == "gather"
+    b = np.concatenate([sharded.process(frames), sharded.flush()], axis=1)
+    if fixed:
+        assert np.array_equal(a, b)
+    else:
+        assert_lsb_close(a.ravel(), b.ravel(), max_mismatch_rate=1e-3)
+
+
 @pytest.mark.parametrize("in_rate,out_rate,quality", [
     (8000, 48000, 2),     # 1/6 integer upsample (small S, large back)
     (48000, 8000, 4),     # 6/1 decimation (huge K)
