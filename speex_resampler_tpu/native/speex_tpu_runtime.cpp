@@ -157,7 +157,12 @@ struct Runtime {
   std::shared_mutex pool_mu;
 };
 
-constexpr long kTimeTile = 16;  // rows per cache-blocked transpose tile
+// Rows per cache-blocked transpose tile in the scatter (slab -> per-stream
+// PCM).  64 measured 1.6x over 16 at -O3 (1.9x with -march=native) on the
+// flagship geometry (S=1024, C=2, n_out=10240): the longer per-stream
+// inner run amortizes pointer setup while the tile's source lines
+// (64 rows x 64 B) still fit L1; 128 regresses (tile exceeds L1).
+constexpr long kTimeTile = 64;
 
 // Gather one [t0, t1) row range of the time-major slab from per-stream
 // sources.  Stream-inner loops make the slab writes sequential (one

@@ -15,6 +15,7 @@ concurrent stereo streams resampled in one Pallas launch").
 
 from __future__ import annotations
 
+import collections
 import math
 
 import numpy as np
@@ -43,7 +44,8 @@ class FleetResampler(ZeroFillDegradation):
                  fixed_point: bool = False,
                  max_latency_ms: float | None = None,
                  max_staged_frames: int | None = None,
-                 max_banked_frames: int | None = None):
+                 max_banked_frames: int | None = None,
+                 pipeline_depth: int = 2):
         """``max_staged_frames`` / ``max_banked_frames`` are per-stream
         high-watermarks bounding host memory (the reference's Node
         Transform inherits stream backpressure, src/index.ts:121-162;
@@ -53,7 +55,14 @@ class FleetResampler(ZeroFillDegradation):
         producer instead); ``poll()`` stops launching while any active
         stream's banked output exceeds the banked watermark, so a
         consumer that never pulls stalls the pipeline instead of growing
-        it.  ``None`` (default) = unbounded, the round-3 behavior."""
+        it.  ``None`` (default) = unbounded, the round-3 behavior.
+
+        ``pipeline_depth`` = launches kept in flight before the oldest
+        result is pulled back.  Depth 2 (default) overlaps device compute
+        AND result readback with the next launch's host gather/dispatch —
+        readback through a remote device tunnel is the serving binder
+        (BENCH fleet_e2e records the per-phase breakdown).  Depth 1 is
+        the classic dispatch-then-drain pipeline."""
         if n_streams <= 0 or channels <= 0 or in_rate <= 0 or out_rate <= 0:
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
         if (max_staged_frames is not None and max_staged_frames <= 0) or \
@@ -100,13 +109,15 @@ class FleetResampler(ZeroFillDegradation):
                                dtype=jnp.int16)
         self._stager = make_stager(n_streams, channels,
                                    self.bspec.in_per_launch)
-        # persistent launch slabs, double-buffered: with the depth-1
-        # dispatch pipeline, slab i may still be transferring to the device
-        # while slab i+1 is being filled; alternating two buffers makes the
-        # overwrite safe (slab i's transfer completes before launch i's
-        # result — which we pull before refilling slab i — is ready)
+        # persistent launch slabs, depth+1 of them: with D launches in
+        # flight, slab i may still be transferring to the device while
+        # later slabs are filled; slab i is only refilled AFTER launch i's
+        # result has been pulled (D dispatches later), by which point its
+        # input transfer has certainly completed
+        self._depth = max(1, int(pipeline_depth))
         self._slabs = [np.zeros((self._step.chunk_rows, self.B),
-                                dtype=np.int16) for _ in range(2)]
+                                dtype=np.int16)
+                       for _ in range(self._depth + 1)]
         self._slab_i = 0
         self._out: list[list[np.ndarray]] = [[] for _ in range(n_streams)]
         self.stats = LaunchStats()
@@ -167,9 +178,12 @@ class FleetResampler(ZeroFillDegradation):
     def poll(self, max_launches: int | None = None) -> int:
         """Run up to ``max_launches`` ready device launches; returns count.
 
-        Launch i+1 is dispatched before launch i's result is pulled back,
-        so device compute overlaps host readback/unpack (device dispatch is
-        async; only the final to_host blocks).
+        Up to ``pipeline_depth`` launches are dispatched before the oldest
+        result is pulled back, so device compute and result readback
+        overlap the next launch's host gather/dispatch (dispatch is async;
+        only _recv blocks).  Every phase's wall-clock is attributed in
+        ``self.stats`` (gather / dispatch / readback / unpack) — the
+        serving pipeline's cost structure, surfaced by BENCH fleet_e2e.
 
         With ``max_banked_frames`` set, launching PAUSES while any active
         stream's banked output sits at/over the watermark — the consumer
@@ -179,22 +193,28 @@ class FleetResampler(ZeroFillDegradation):
         n = self._stager.ready_launches()
         if max_launches is not None:
             n = min(n, max_launches)
-        pending = None
+        pending: collections.deque = collections.deque()
         ran = 0
         for _ in range(n):
             if self._output_paused():
                 break
             slab = self._slabs[self._slab_i]
-            self._slab_i ^= 1
-            self._stager.fill_launch(out=slab)
-            y = self._dispatch(slab)
-            if pending is not None:
-                self._bank(self._recv(pending), None)
-            pending = y
+            self._slab_i = (self._slab_i + 1) % len(self._slabs)
+            with self.stats.phase("gather"):
+                self._stager.fill_launch(out=slab)
+            pending.append(self._dispatch(slab))
             ran += 1
-        if pending is not None:
-            self._bank(self._recv(pending), None)
+            if len(pending) >= self._depth:
+                self._drain_one(pending)
+        while pending:
+            self._drain_one(pending)
         return ran
+
+    def _drain_one(self, pending) -> None:
+        with self.stats.phase("readback"):
+            y = self._recv(pending.popleft())
+        with self.stats.phase("unpack"):
+            self._bank(y, None)
 
     def _output_paused(self) -> bool:
         if self.max_banked_frames is None:
@@ -241,7 +261,8 @@ class FleetResampler(ZeroFillDegradation):
     def _dispatch(self, slab: np.ndarray):
         """Async-dispatch one launch on a fully prepared slab."""
         with self.stats.launch(self.bspec.in_per_launch * self.B,
-                               self.bspec.out_per_launch * self.B):
+                               self.bspec.out_per_launch * self.B), \
+                self.stats.phase("dispatch"):
             if self._degraded:
                 return self._degraded_dispatch(slab)
             try:
@@ -256,7 +277,7 @@ class FleetResampler(ZeroFillDegradation):
         """Dispatch from a bare [n_in, B] chunk (e.g. the flush slab)."""
         q = self.bspec.in_per_launch
         slab = self._slabs[self._slab_i]
-        self._slab_i ^= 1
+        self._slab_i = (self._slab_i + 1) % len(self._slabs)
         slab[:q] = chunk
         return self._dispatch(slab)
 

@@ -176,7 +176,8 @@ class MultiFleet:
                  fixed_point: bool = False,
                  max_latency_ms: float | None = None,
                  max_staged_frames: int | None = None,
-                 max_banked_frames: int | None = None):
+                 max_banked_frames: int | None = None,
+                 pipeline_depth: int = 2):
         """``max_staged_frames`` / ``max_banked_frames`` bound per-stream
         host memory in every bucket (see FleetResampler's backpressure
         contract / docs/serving.md).  The banked watermark also bounds a
@@ -192,6 +193,7 @@ class MultiFleet:
         self.fixed_point = bool(fixed_point)
         self.max_staged_frames = max_staged_frames
         self.max_banked_frames = max_banked_frames
+        self._pipeline_depth = pipeline_depth
         self._buckets: dict[tuple, _Bucket] = {}
         self._streams: dict[object, _Stream] = {}
 
@@ -206,7 +208,8 @@ class MultiFleet:
             fixed_point=self.fixed_point,
             max_latency_ms=self._max_latency_ms,
             max_staged_frames=self.max_staged_frames,
-            max_banked_frames=self.max_banked_frames)
+            max_banked_frames=self.max_banked_frames,
+            pipeline_depth=self._pipeline_depth)
 
     # -- stream lifecycle --------------------------------------------------
 

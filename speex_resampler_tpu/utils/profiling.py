@@ -2,7 +2,10 @@
 
 The reference's only tracing is performance.now() bracketing in its test
 harness (src/test.ts:31-34).  Here: a counters object engines update per
-launch, and an optional jax.profiler trace context for deep dives.
+launch — including named per-phase wall-clock so the serving pipeline's
+cost structure (gather -> dispatch -> readback -> unpack) is visible in
+production and in BENCH — and an optional jax.profiler trace context for
+deep dives.
 """
 
 from __future__ import annotations
@@ -21,6 +24,9 @@ class LaunchStats:
     in_samples: int = 0
     out_samples: int = 0
     device_seconds: float = 0.0
+    # cumulative wall-clock per named pipeline phase (FleetResampler.poll
+    # phases: gather / dispatch / readback / unpack)
+    phase_seconds: dict = dataclasses.field(default_factory=dict)
 
     def record(self, n_in: int, n_out: int, seconds: float):
         self.launches += 1
@@ -36,10 +42,27 @@ class LaunchStats:
         finally:
             self.record(n_in, n_out, time.perf_counter() - t0)
 
+    @contextlib.contextmanager
+    def phase(self, name: str):
+        """Attribute a span of host wall-clock to one pipeline phase."""
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.phase_seconds[name] = (self.phase_seconds.get(name, 0.0)
+                                        + time.perf_counter() - t0)
+
     @property
     def out_samples_per_sec(self) -> float:
         return self.out_samples / self.device_seconds \
             if self.device_seconds else 0.0
+
+    def phase_ms_per_launch(self) -> dict:
+        """Per-launch milliseconds by phase (empty until a launch ran)."""
+        if not self.launches:
+            return {}
+        return {k: round(v * 1e3 / self.launches, 4)
+                for k, v in self.phase_seconds.items()}
 
     def as_dict(self) -> dict:
         return {
@@ -48,6 +71,7 @@ class LaunchStats:
             "out_samples": self.out_samples,
             "device_seconds": round(self.device_seconds, 6),
             "out_samples_per_sec": round(self.out_samples_per_sec),
+            "phase_ms_per_launch": self.phase_ms_per_launch(),
         }
 
 
