@@ -238,3 +238,49 @@ def test_fleet_poll_max_launches():
     assert b.poll() == 3
     for s in range(S):
         assert np.array_equal(a.pull(s), b.pull(s))
+
+
+def test_fleet_pipeline_depth_output_invariant():
+    """pipeline_depth changes only scheduling (launches in flight before
+    the oldest readback), never output bytes or accounting: depths 1, 2
+    and 4 must bank identical samples stream-for-stream, including
+    through flush().  Guards the depth+1 slab ring — a slab refilled
+    before its in-flight transfer completed would corrupt a launch."""
+    rng = np.random.default_rng(41)
+    S, C = 4, 2
+    fleets = [FleetResampler(S, C, 44100, 48000, 7,
+                             target_chunk_frames=1024, use_pallas=False,
+                             pipeline_depth=d) for d in (1, 2, 4)]
+    q = fleets[0].bspec.in_per_launch
+    frames = (rng.integers(-32768, 32768, size=(S, 5 * q + 321, C))
+              // 2).astype(np.int16)
+    for f in fleets:
+        for s in range(S):
+            f.push(s, frames[s])
+        f.poll()
+        f.flush()
+    for s in range(S):
+        ref = fleets[0].pull(s)
+        for f in fleets[1:]:
+            assert np.array_equal(f.pull(s), ref)
+
+
+def test_fleet_phase_stats_attribution():
+    """Every poll attributes wall-clock to the four serving phases and
+    the per-launch view divides by the launch count."""
+    rng = np.random.default_rng(43)
+    S, C = 2, 1
+    fleet = FleetResampler(S, C, 24000, 48000, 5, target_chunk_frames=300,
+                           use_pallas=False)
+    q = fleet.bspec.in_per_launch
+    for s in range(S):
+        fleet.push(s, (rng.integers(-20000, 20000, size=(2 * q, C))
+                       ).astype(np.int16))
+    assert fleet.poll() == 2
+    st = fleet.stats
+    for phase in ("gather", "dispatch", "readback", "unpack"):
+        assert st.phase_seconds.get(phase, 0.0) > 0.0
+        assert st.phase_ms_per_launch()[phase] == pytest.approx(
+            st.phase_seconds[phase] * 1e3 / st.launches, abs=5e-5)
+    assert st.launches == 2
+    assert "phase_ms_per_launch" in st.as_dict()
