@@ -65,7 +65,8 @@ def test_push_only_never_pull_stays_bounded():
                 rejections += 1
         fleet.poll()
         # the bound, every iteration: staged and banked never exceed
-        # watermark (+ the depth-1 pipeline's in-flight launch for banked)
+        # watermark (+ pipeline_depth in-flight launches for banked;
+        # default depth 2)
         for s in range(S):
             assert fleet.staged()[s] <= 4 * q
             assert fleet.pending(s) <= 3 * q + 2 * out_q
