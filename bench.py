@@ -259,18 +259,24 @@ def measure_config(in_rate, out_rate, quality, *, use_pallas,
     # 0.13-0.44 ms/launch across contention windows).  Under heavy
     # contention one slope can cost minutes — bail once 2 are in hand if
     # the budget is running out.
+    roof_ms = _roofline_ms(bstep, bspec, B)
+    # a slope can only be trusted between the physics floor and +inf: a
+    # SHORT-scan contention spike makes it negative (observed -0.185 ms),
+    # and the same spike in milder form yields a positive slope BELOW the
+    # MXU roofline (observed 0.0154 ms against a 0.128 ms floor = "8.3x
+    # speed of light").  Both are artifacts of differencing two noisy
+    # walls, not measurements; reject either and retry.  The /1.2 margin
+    # absorbs roofline-model error — legit kernels have measured up to
+    # ~0.9 of the modeled floor, never past it.
+    floor_s = (roof_ms / 1.2) * 1e-3 if roof_ms else 0.0
     slopes, rejected = [], 0
     attempts = 0
     while len(slopes) < n_slopes and attempts < n_slopes + 3:
         attempts += 1
         s = one_slope(attempts)
-        if s > 0:
+        if s > floor_s:
             slopes.append(s)
         else:
-            # a contention spike during the SHORT scan can push its best
-            # above the long scan's, making the slope <= 0 — observed
-            # live (-0.185 ms "per launch").  A negative slope is not a
-            # measurement; retry rather than poison the median.
             rejected += 1
         if len(slopes) >= 2 and _time_left() < 0.6 * _BUDGET_S:
             break
@@ -288,7 +294,6 @@ def measure_config(in_rate, out_rate, quality, *, use_pallas,
     best = slopes[0]
     quiet = _quiet(slopes)
     spread = (slopes[-1] - slopes[0]) / per_launch if per_launch else 0.0
-    roof_ms = _roofline_ms(bstep, bspec, B)
     return {
         "kernel": bspec.kernel,
         "scheme": bstep.scheme,
@@ -481,6 +486,10 @@ def multifleet_e2e(n_streams=1024, n_buckets=4, target_frames=2048):
         mf.set_stream_rate(sids[1][0], *configs[1][:2],
                            configs[1][2])
         sids[1] = (sids[1][0], configs[1])
+        # steady-state only: the warmup poll and the dynamics above paid
+        # every bucket's compile cost; without this reset the per-bucket
+        # dispatch phase reads ~1.3 s/launch of amortized XLA compile
+        mf.reset_stats()
         produced = 0
         iters = 2
         t0 = time.perf_counter()
@@ -492,9 +501,17 @@ def multifleet_e2e(n_streams=1024, n_buckets=4, target_frames=2048):
                 produced += mf.pull(sid).size
         dt = time.perf_counter() - t0
         stats = mf.stats()
+        host_s = sum(b.fleet.stats.phase_seconds.get("gather", 0.0)
+                     + b.fleet.stats.phase_seconds.get("unpack", 0.0)
+                     for b in mf._buckets.values())
+        phase_s = sum(sum(b.fleet.stats.phase_seconds.values())
+                      for b in mf._buckets.values())
         return {"out_samples_per_sec": round(produced / dt),
                 "streams": n_streams, "buckets": len(configs),
                 "degraded": mf.degraded,
+                "accounted_frac": round(phase_s / dt, 3) if dt else None,
+                "host_path_samples_per_sec": (round(produced / host_s)
+                                              if host_s else None),
                 "per_bucket": {k: {"launches": v["launches"],
                                    "phase_ms_per_launch":
                                        v["phase_ms_per_launch"]}

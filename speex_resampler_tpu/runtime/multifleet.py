@@ -500,6 +500,12 @@ class MultiFleet:
         return {str(k): b.fleet.stats.as_dict()
                 for k, b in self._buckets.items()}
 
+    def reset_stats(self) -> None:
+        """Zero every bucket's launch/phase counters — e.g. after a
+        warmup poll, so steady-state serving stats exclude compile time."""
+        for b in self._buckets.values():
+            b.fleet.stats = type(b.fleet.stats)()
+
     @property
     def degraded(self) -> bool:
         """True if ANY bucket's fleet has degraded to the zero-output
