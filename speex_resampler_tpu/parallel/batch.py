@@ -402,7 +402,8 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
                       pallas_interpret: bool = False,
                       mesh: jax.sharding.Mesh | None = None,
                       axis: str = "streams",
-                      scheme: str = "auto") -> BatchedStep:
+                      scheme: str = "auto",
+                      lane_major: bool = False) -> BatchedStep:
     """Build the jitted steady-state step function.
 
     ``scheme`` selects the float-universe matmul precision scheme on the
@@ -437,13 +438,25 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
         use_pallas = jax.default_backend() == "tpu"
 
     def _wrap(step_impl):
+        if lane_major:
+            # Serving layout: the host stages LANE-MAJOR [B, rows] slabs
+            # (contiguous per-stream gather/scatter, runtime/native.py
+            # *_lm) and both transposes ride the device inside this jit,
+            # where they are HBM-bandwidth trivial.  hist stays
+            # time-major (it never crosses the host boundary per launch).
+            inner = step_impl
+
+            def step_impl(hist, x_lm, w):
+                h2, y = inner(hist, x_lm.T, w)
+                return h2, y.T
         if mesh is None:
             return jax.jit(step_impl)
         P = jax.sharding.PartitionSpec
+        xy = P(axis, None) if lane_major else P(None, axis)
         return jax.jit(jax.shard_map(
             step_impl, mesh=mesh,
-            in_specs=(P(None, axis), P(None, axis), P()),
-            out_specs=(P(None, axis), P(None, axis)),
+            in_specs=(P(None, axis), xy, P()),
+            out_specs=(P(None, axis), xy),
             check_vma=False))
 
     if bspec.kernel == "streamed":

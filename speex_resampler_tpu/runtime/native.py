@@ -103,6 +103,10 @@ def load_runtime():
                                c.c_void_p]
     lib.srt_unpack_all.argtypes = [c.c_void_p, c.c_void_p, c.c_long,
                                    c.c_void_p]
+    lib.srt_fill_launch_lm.restype = c.c_int
+    lib.srt_fill_launch_lm.argtypes = [c.c_void_p, c.c_void_p, c.c_long]
+    lib.srt_unpack_all_lm.argtypes = [c.c_void_p, c.c_void_p, c.c_long,
+                                      c.c_void_p]
     _lib = lib
     return _lib
 
@@ -193,6 +197,35 @@ class NativeStager:
         if rc != 0:
             raise ValueError("not enough staged frames for a launch")
         return slab
+
+    def fill_launch_lm(self, out: np.ndarray) -> np.ndarray:
+        """Lane-major gather: writes ``out[:, :n_in]`` where ``out`` is a
+        C-contiguous int16 [B, stride] slab (stride >= n_in; the zero tail
+        beyond n_in is never touched).  Per-stream deinterleave into
+        contiguous rows — the cache-friendly twin of ``fill_launch`` (the
+        time-major transpose instead rides the device inside the jitted
+        step)."""
+        assert out.dtype == np.int16 and out.flags["C_CONTIGUOUS"]
+        assert out.shape[0] == self.B and out.shape[1] >= self.n_in
+        rc = self._lib.srt_fill_launch_lm(self._h, _ptr(out), out.shape[1])
+        if rc != 0:
+            raise ValueError("not enough staged frames for a launch")
+        return out
+
+    def unpack_all_lm(self, y: np.ndarray,
+                      out: np.ndarray | None = None) -> np.ndarray:
+        """y: lane-major int16 [B, n_out] -> [S, n_out, C] (contiguous
+        per-stream zip; pass ``out`` to reuse the destination buffer)."""
+        y = np.ascontiguousarray(y, dtype=np.int16)
+        if y.ndim != 2 or y.shape[0] != self.B:
+            raise ValueError(f"slab lane axis {y.shape} != B={self.B}")
+        n_out = y.shape[1]
+        dst = out if out is not None else np.empty(
+            (self.n_streams, n_out, self.channels), dtype=np.int16)
+        assert dst.shape == (self.n_streams, n_out, self.channels) \
+            and dst.dtype == np.int16 and dst.flags["C_CONTIGUOUS"]
+        self._lib.srt_unpack_all_lm(self._h, _ptr(y), n_out, _ptr(dst))
+        return dst
 
     def fill_flush(self) -> tuple[np.ndarray | None, np.ndarray]:
         """(zero-padded slab or None, pre-drain staged frames per stream)."""
@@ -308,6 +341,29 @@ class PyStager:
                 self._bufs[s][:self.n_in]
             self._bufs[s] = self._bufs[s][self.n_in:]
         return slab
+
+    def fill_launch_lm(self, out: np.ndarray) -> np.ndarray:
+        if self.ready_launches() < 1:
+            raise ValueError("not enough staged frames for a launch")
+        c = self.channels
+        for s in range(self.n_streams):
+            if not self._active[s]:
+                out[s * c:(s + 1) * c, :self.n_in] = 0
+                continue
+            out[s * c:(s + 1) * c, :self.n_in] = self._bufs[s][:self.n_in].T
+            self._bufs[s] = self._bufs[s][self.n_in:]
+        return out
+
+    def unpack_all_lm(self, y: np.ndarray,
+                      out: np.ndarray | None = None) -> np.ndarray:
+        n_out = y.shape[1]
+        r = np.ascontiguousarray(
+            y.reshape(self.n_streams, self.channels, n_out).transpose(
+                0, 2, 1))
+        if out is not None:
+            out[...] = r
+            return out
+        return r
 
     def fill_flush(self) -> tuple[np.ndarray | None, np.ndarray]:
         staged = np.minimum(self.staged(), self.n_in)

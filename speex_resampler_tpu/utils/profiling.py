@@ -27,6 +27,11 @@ class LaunchStats:
     # cumulative wall-clock per named pipeline phase (FleetResampler.poll
     # phases: gather / dispatch / readback / unpack)
     phase_seconds: dict = dataclasses.field(default_factory=dict)
+    # best (min) single span per phase: on a host whose core also services
+    # the device tunnel, a mean absorbs descheduling stalls from in-flight
+    # transfers (observed 6 ms vs 705 ms for the same unpack); the min is
+    # the host path's actual capability and the stable regression gate
+    phase_min_seconds: dict = dataclasses.field(default_factory=dict)
 
     def record(self, n_in: int, n_out: int, seconds: float):
         self.launches += 1
@@ -49,8 +54,12 @@ class LaunchStats:
         try:
             yield
         finally:
+            dt = time.perf_counter() - t0
             self.phase_seconds[name] = (self.phase_seconds.get(name, 0.0)
-                                        + time.perf_counter() - t0)
+                                        + dt)
+            prev = self.phase_min_seconds.get(name)
+            if prev is None or dt < prev:
+                self.phase_min_seconds[name] = dt
 
     @property
     def out_samples_per_sec(self) -> float:
@@ -64,6 +73,11 @@ class LaunchStats:
         return {k: round(v * 1e3 / self.launches, 4)
                 for k, v in self.phase_seconds.items()}
 
+    def phase_ms_min(self) -> dict:
+        """Best observed single-launch milliseconds per phase."""
+        return {k: round(v * 1e3, 4)
+                for k, v in self.phase_min_seconds.items()}
+
     def as_dict(self) -> dict:
         return {
             "launches": self.launches,
@@ -72,6 +86,7 @@ class LaunchStats:
             "device_seconds": round(self.device_seconds, 6),
             "out_samples_per_sec": round(self.out_samples_per_sec),
             "phase_ms_per_launch": self.phase_ms_per_launch(),
+            "phase_ms_min": self.phase_ms_min(),
         }
 
 

@@ -43,6 +43,43 @@ def test_stager_fill_launch_matches_numpy():
     assert np.array_equal(nat.staged(), ref.staged())
 
 
+@pytest.mark.parametrize("C", [1, 2, 3])
+def test_stager_lane_major_matches_numpy_and_time_major(C):
+    """The lane-major fast path (srt_fill_launch_lm / srt_unpack_all_lm,
+    used by FleetResampler with the device-side transpose) must agree with
+    the PyStager reference AND with the time-major twins transposed."""
+    rng = np.random.default_rng(7 + C)
+    S, q = 5, 48
+    nat, ref = _both(S, C, q)
+    nat.set_active(3, False)
+    ref.set_active(3, False)
+    for s in range(S):
+        if s == 3:
+            continue
+        f = rng.integers(-1000, 1000, size=(q + 5, C)).astype(np.int16)
+        nat.push(s, f)
+        ref.push(s, f)
+    stride = q + 9
+    a = np.full((S * C, stride), 7, dtype=np.int16)
+    b = np.full((S * C, stride), 7, dtype=np.int16)
+    nat.fill_launch_lm(a)
+    ref.fill_launch_lm(b)
+    assert np.array_equal(a[:, :q], b[:, :q])
+    # the zero tail beyond n_in is never touched (persistent slabs rely
+    # on it), and the inactive lane's quantum is zero-filled
+    assert np.all(a[:, q:] == 7) and np.all(b[:, q:] == 7)
+    assert not a[3 * C:4 * C, :q].any()
+    assert np.array_equal(nat.staged(), ref.staged())
+
+    y = rng.integers(-2000, 2000, size=(S * C, 31)).astype(np.int16)
+    u_nat = nat.unpack_all_lm(y)
+    assert np.array_equal(u_nat, ref.unpack_all_lm(y))
+    assert np.array_equal(u_nat, nat.unpack_all(np.ascontiguousarray(y.T)))
+    # destination-buffer reuse writes the identical result
+    dst = np.empty_like(u_nat)
+    assert np.array_equal(nat.unpack_all_lm(y, out=dst), u_nat)
+
+
 def test_stager_push_bytes_alignment_carry():
     S, C, q = 2, 2, 50
     nat, ref = _both(S, C, q)
