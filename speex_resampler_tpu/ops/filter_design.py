@@ -53,13 +53,29 @@ F64 = np.float64
 # construct engines for the same config concurrently (MultiFleet buckets
 # are built on demand from request threads), so every mutation of a shared
 # spec — the lazy phase_table / interp tensors here, and batch.py's
-# spec-attached ``_ptw_cache`` — serializes on this single re-entrant lock
+# spec-attached ``_ptw_cache`` — serializes on a PER-SPEC re-entrant lock
 # (re-entrant because the tiled-weight builder reads the lazy tables while
-# holding it).  Tables are immutable once built, so lock-free READS of an
-# already-populated attribute stay safe; only build-and-attach races are
-# possible, and the lock removes them.  Pinned by
-# tests/test_threaded.py.
+# holding it; per-spec so cold builds of UNRELATED configs — a
+# heterogeneous MultiFleet's buckets — proceed in parallel instead of
+# queueing behind one near-256 MB streamed-table build).  The global lock
+# below only guards attaching the per-spec lock itself.  Tables are
+# immutable once built, so lock-free READS of an already-populated
+# attribute stay safe; only build-and-attach races are possible, and the
+# per-spec lock removes them.  Pinned by tests/test_threaded.py.
 SPEC_BUILD_LOCK = threading.RLock()
+
+
+def _spec_lock(spec) -> threading.RLock:
+    """The spec's build lock, attached on first demand (one per instance;
+    design_filter's lru_cache makes that one-per-config)."""
+    lk = spec.__dict__.get("_build_lock")
+    if lk is None:
+        with SPEC_BUILD_LOCK:
+            lk = spec.__dict__.get("_build_lock")
+            if lk is None:
+                lk = threading.RLock()
+                object.__setattr__(spec, "_build_lock", lk)
+    return lk
 
 
 class OverflowArgError(ValueError):
@@ -449,7 +465,7 @@ class FilterSpec:
         int16, direct path only — fixed interp keeps a (0, N) sentinel so
         accumulator-mean shapes stay out of phase_table consumers)."""
         if self._phase_table is None:
-            with SPEC_BUILD_LOCK:
+            with _spec_lock(self):
                 if self._phase_table is None:  # double-checked under lock
                     if self.fixed_point and not self.use_direct:
                         t = np.zeros((0, self.filt_len), dtype=np.int16)
@@ -477,7 +493,7 @@ class FilterSpec:
     def _ensure_interp(self) -> None:
         if self._interp_taps is None and self.fixed_point \
                 and not self.use_direct:
-            with SPEC_BUILD_LOCK:
+            with _spec_lock(self):
                 if self._interp_taps is not None:  # lost the build race
                     return
                 taps, coef = fixed_interp_tensors(

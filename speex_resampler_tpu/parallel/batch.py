@@ -200,9 +200,10 @@ def _tiled_weights(spec: fd.FilterSpec, f0: int = 0, component: int = 0):
 
     design_filter is lru_cache'd, so the spec — and this cache — is shared
     across engines; concurrent engine construction from server threads
-    serializes build/eviction on fd.SPEC_BUILD_LOCK (the same lock the
-    spec's lazy tables take; see its contract in ops/filter_design.py)."""
-    with fd.SPEC_BUILD_LOCK:
+    serializes build/eviction on the spec's own lock (the same lock the
+    spec's lazy tables take, so unrelated configs build in parallel; see
+    the contract in ops/filter_design.py)."""
+    with fd._spec_lock(spec):
         cache = getattr(spec, "_ptw_cache", None)
         if cache is None:
             cache = {}

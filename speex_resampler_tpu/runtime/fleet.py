@@ -173,13 +173,16 @@ class FleetResampler(ZeroFillDegradation):
                 > self.max_staged_frames:
             raise ResamplerError(ResamplerErrorCode.ALLOC_FAILED)
 
-    def writable(self, stream: int) -> bool:
-        """Transform-stream pause signal: False once the stream's staging
-        is at/over the watermark (push of any further full frame would
-        raise).  Always True when unbounded."""
+    def writable(self, stream: int, frames: int = 1) -> bool:
+        """Transform-stream pause signal: True iff a push of ``frames``
+        whole frames is guaranteed to be accepted (staged + frames stays
+        within the watermark).  Producers pushing multi-frame chunks must
+        pass their chunk size — the 1-frame default only guards the next
+        single frame.  Always True when unbounded."""
         if self.max_staged_frames is None:
             return True
-        return self._stager.staged_one(stream) < self.max_staged_frames
+        return (self._stager.staged_one(stream) + frames
+                <= self.max_staged_frames)
 
     def staged(self) -> np.ndarray:
         return self._stager.staged()

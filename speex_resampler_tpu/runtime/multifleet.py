@@ -180,10 +180,14 @@ class MultiFleet:
                  pipeline_depth: int = 2):
         """``max_staged_frames`` / ``max_banked_frames`` bound per-stream
         host memory in every bucket (see FleetResampler's backpressure
-        contract / docs/serving.md).  The banked watermark also bounds a
-        stream's rate-switch ``carryover`` buffer: a push that would grow
-        it past the watermark raises ALLOC_FAILED until the caller
-        pulls."""
+        contract / docs/serving.md).  The watermarks also bound a
+        stream's rate-switch ``carryover`` buffer: a push while carryover
+        is at/over ``max_banked_frames`` raises ALLOC_FAILED until the
+        caller pulls, and a single mid-transition chunk larger than
+        ``max_staged_frames`` is refused exactly as the lockstep path
+        would refuse it, so carryover never exceeds
+        ``max_banked_frames + ceil(max_staged_frames * out/in)`` plus the
+        transition's ≤den-1-output tail."""
         self.channels = channels
         self.capacity = capacity_per_bucket
         self._target = target_chunk_frames
@@ -401,24 +405,33 @@ class MultiFleet:
         b.fleet.set_slot_active(st.slot, True)
         b.fleet.clear_slot(st.slot)
         b.fleet.seed_lane_history(st.slot, tr.hist)
+        # Internal re-staging of frames the caller ALREADY handed over
+        # (retained-unconsumed input + byte-alignment carry) must bypass
+        # the staging watermark: raising here would unwind push() after
+        # the transition object was discarded, silently dropping the
+        # frames.  Accepted input is never re-subjected to backpressure.
         if tr.staged_rest is not None and tr.staged_rest.shape[0]:
-            b.fleet.push(st.slot, tr.staged_rest)
+            b.fleet._stager.push(st.slot, tr.staged_rest)
         carry = st.byte_carry
         if carry:
-            b.fleet.push_bytes(st.slot, carry)
+            b.fleet._stager.push_bytes(st.slot, carry)
             st.byte_carry = b""
 
     # -- dataflow ------------------------------------------------------------
 
-    def writable(self, sid) -> bool:
-        """Transform-stream pause signal (see FleetResampler.writable);
-        mid-transition it reflects the carryover bound instead."""
+    def writable(self, sid, frames: int = 1) -> bool:
+        """Transform-stream pause signal (see FleetResampler.writable —
+        pass the intended chunk size in ``frames``); mid-transition it
+        reflects the carryover bound and the per-chunk staging bound."""
         st = self._stream(sid)
         if st.ended:
             return False
         if st.transition is not None or st.slot is None:
+            if (self.max_staged_frames is not None
+                    and frames > self.max_staged_frames):
+                return False
             return not self._carryover_full(st)
-        return self._buckets[st.key].fleet.writable(st.slot)
+        return self._buckets[st.key].fleet.writable(st.slot, frames)
 
     def _carryover_full(self, st: _Stream) -> bool:
         return (self.max_banked_frames is not None
@@ -432,8 +445,18 @@ class MultiFleet:
         frames = np.asarray(frames, dtype=np.int16)
         if st.transition is not None:
             # a transition banks straight into carryover, bypassing the
-            # bucket; the banked watermark bounds it the same way
+            # bucket.  Two watermarks bound it: the banked watermark on
+            # the output side (pre-checked — a push while carryover is at
+            # the watermark raises), and the staging watermark on the
+            # input side (a chunk the lockstep path would have refused as
+            # over-watermark is refused here too).  Together they bound
+            # carryover by max_banked + ceil(max_staged * out/in) + the
+            # transition's own ≤den-1-output tail, a configuration-derived
+            # constant (docs/serving.md "Backpressure").
             if self._carryover_full(st):
+                raise ResamplerError(ResamplerErrorCode.ALLOC_FAILED)
+            if (self.max_staged_frames is not None
+                    and frames.shape[0] > self.max_staged_frames):
                 raise ResamplerError(ResamplerErrorCode.ALLOC_FAILED)
             for y in st.transition.feed(frames):
                 self._add_carryover(st, y)

@@ -146,9 +146,98 @@ def test_multifleet_watermarks():
                 raised = True
         mf.poll()
     assert raised
-    assert not mf.writable("a") or mf.writable("a")  # no crash either way
+    # writable() mirrors push acceptance: paused streams report False and
+    # pulling everything makes them writable again
+    for sid in ("a", "b"):
+        if not mf.writable(sid):
+            with pytest.raises(ResamplerError):
+                mf.push(sid, _frames(1))
     # pulling reopens the pipeline
     assert mf.pull("a").shape[0] > 0
     mf.poll()
     total = mf.pull("a").shape[0]
     assert total >= 0
+    while mf.pull("a").shape[0] or mf.poll():
+        pass
+    assert mf.writable("a")
+    mf.push("a", _frames(1))  # does not raise
+
+
+def test_writable_takes_chunk_size():
+    """writable(stream, n) guarantees acceptance of an n-frame push —
+    the README producer pattern for multi-frame chunks (round-4 review:
+    the 1-frame default only guards the next single frame)."""
+    q = _fleet().bspec.in_per_launch
+    fleet = _fleet(max_staged_frames=q + 8)
+    fleet.push(0, _frames(q))
+    assert fleet.writable(0)            # room for 1 more
+    assert fleet.writable(0, 8)         # exactly fits
+    assert not fleet.writable(0, 9)     # would cross the watermark
+    with pytest.raises(ResamplerError):
+        fleet.push(0, _frames(9))
+    fleet.push(0, _frames(8))           # writable() promised this fits
+
+
+def _mid_transition_multifleet(max_staged, max_banked):
+    """A MultiFleet with stream "a" parked mid rate-switch: start on
+    44.1k->48k (den=160 — the fractional phase after a polled launch is
+    generically nonzero), then switch to 48k->44.1k (den=147) with too
+    little buffered input for the transition to reach phase 0."""
+    mf = MultiFleet(channels=C, capacity_per_bucket=4,
+                    target_chunk_frames=256, use_pallas=False,
+                    max_staged_frames=max_staged,
+                    max_banked_frames=max_banked)
+    mf.add_stream("a", 44100, 48000, 7)
+    q = mf._buckets[(44100, 48000, 7)].fleet.bspec.in_per_launch
+    mf.push("a", _frames(q + 37, seed=1))
+    mf.poll()
+    mf.set_stream_rate("a", 48000, 44100)
+    st = mf._stream("a")
+    assert st.transition is not None, \
+        "scenario failed to leave a live transition"
+    return mf, st
+
+
+def test_transition_restage_bypasses_watermark():
+    """Frames the engine already accepted must never be re-subjected to
+    backpressure when a completed rate-switch transition re-stages its
+    retained-unconsumed input into the new bucket (round-4 review: the
+    watermark-checked push here raised ALLOC_FAILED out of MultiFleet.push
+    and silently dropped the stream's input)."""
+    mf, st = _mid_transition_multifleet(700, 100000)
+    # force the exact hazard: at completion the retained-unconsumed input
+    # exceeds the staging watermark (the transition stops consuming at its
+    # phase-0 point, so nearly all of this survives to staged_rest)
+    st.transition.buf = np.concatenate(
+        [st.transition.buf, _frames(900, seed=2)])
+    mf.push("a", _frames(1, seed=3))    # within watermark; completes it
+    assert st.transition is None, "transition should complete on this push"
+    slot_staged = mf._buckets[st.key].fleet._stager.staged_one(st.slot)
+    assert slot_staged > 700, \
+        f"hazard not exercised: only {slot_staged} frames re-staged"
+    mf.poll()
+    assert mf.pull("a").shape[0] > 0
+
+
+def test_transition_carryover_bounded():
+    """Mid-transition pushes bank output into carryover; the watermarks
+    must bound it (round-4 review).  The transition itself can emit at
+    most den-1 frames before completing, so the binding check is that a
+    single over-watermark chunk is refused exactly as the lockstep path
+    would refuse it, and carryover stays within max_banked + den."""
+    W, Q = 200, 700
+    mf, st = _mid_transition_multifleet(Q, W)
+    mf.pull("a")   # drain the pre-switch launch output banked at switch
+    with pytest.raises(ResamplerError) as e:
+        mf.push("a", _frames(Q + 1))
+    assert e.value.code == ResamplerErrorCode.ALLOC_FAILED
+    assert not mf.writable("a", Q + 1)
+    assert st.transition is not None    # the refused chunk changed nothing
+    # tiny accepted chunks: carryover stays within watermark + den tail
+    for i in range(64):
+        if st.transition is None:
+            break
+        mf.push("a", _frames(8, seed=i))
+        if st.carryover is not None:
+            assert len(st.carryover) <= W + 147
+    assert st.transition is None, "transition never completed"
