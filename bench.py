@@ -265,10 +265,16 @@ def measure_config(in_rate, out_rate, quality, *, use_pallas,
     # and the same spike in milder form yields a positive slope BELOW the
     # MXU roofline (observed 0.0154 ms against a 0.128 ms floor = "8.3x
     # speed of light").  Both are artifacts of differencing two noisy
-    # walls, not measurements; reject either and retry.  The /1.2 margin
-    # absorbs roofline-model error — legit kernels have measured up to
-    # ~0.9 of the modeled floor, never past it.
-    floor_s = (roof_ms / 1.2) * 1e-3 if roof_ms else 0.0
+    # walls, not measurements; reject either and retry.  The margin must
+    # absorb the roofline MODEL's own same-direction error — real quiet
+    # measurements have landed up to frac~=1.10 past the modeled floor
+    # (44.1k->24k q5, BENCH_LOCAL_r04), i.e. the datasheet-peak model
+    # under-floors some configs by ~10% — so /1.3 keeps ~18% of margin
+    # beyond the demonstrated model error instead of the 9% that /1.2
+    # left (which risked rejecting genuine fast slopes and silently
+    # falling back to the one_long_bound upper bound for exactly the
+    # fastest configs).
+    floor_s = (roof_ms / 1.3) * 1e-3 if roof_ms else 0.0
     slopes, rejected = [], 0
     attempts = 0
     while len(slopes) < n_slopes and attempts < n_slopes + 3:
@@ -678,6 +684,17 @@ def main():
         "vs_baseline": round(device_sps / 1e9, 3),
         "extra": extra,
     })
+
+    # roofline-model tolerance, recorded so frac > 1 rows in this artifact
+    # are self-explaining: the floor is a datasheet-peak model
+    # (PEAK_BF16_FLOPS with scheme-ladder pass counts), measured accurate
+    # to ~±10% per config (quiet fracs 0.5-1.10 observed); slope rejection
+    # uses floor/1.3 to stay clear of that model error
+    extra["roofline_note"] = (
+        "roofline_ms is a datasheet-peak MXU model (197 bf16 TFLOP/s, "
+        "scheme-ladder passes); observed model error up to ~10% "
+        "(roofline_frac_quiet up to 1.10 is measurement-real, not "
+        "super-physical); slope rejection floor = roofline/1.3")
 
     # the round-3 headline artifact: run it FIRST among the optional
     # sections so a budget squeeze can never drop it

@@ -24,18 +24,40 @@ _PKG = Path(__file__).resolve().parent.parent
 _SRC = _PKG / "native" / "speex_tpu_runtime.cpp"
 
 
+def _host_tag() -> str:
+    """Cache key for the EXECUTING CPU.  The .so is built -march=native,
+    so a binary cached by one host can SIGILL on another (shared NFS
+    home, image baked on a newer builder) — the mtime check alone can't
+    see that.  Hash the machine arch + the CPU feature-flag line so any
+    micro-arch change forces a rebuild (~1 s) instead of a process kill."""
+    import hashlib
+    import platform
+    ident = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    ident += " " + " ".join(sorted(line.split()[2:]))
+                    break
+    except OSError:
+        ident += " " + platform.processor()
+    return hashlib.sha1(ident.encode()).hexdigest()[:12]
+
+
 def _lib_path() -> Path:
-    """Build dir: repo-style checkout build/ if writable, else user cache."""
+    """Build dir: repo-style checkout build/ if writable, else user cache.
+    The filename carries the host-CPU tag (see _host_tag)."""
+    name = f"libspeex_tpu_runtime.{_host_tag()}.so"
     repo_build = _PKG.parent / "build"
     try:
         repo_build.mkdir(exist_ok=True)
         if os.access(repo_build, os.W_OK):
-            return repo_build / "libspeex_tpu_runtime.so"
+            return repo_build / name
     except OSError:
         pass
     cache = Path(os.environ.get("XDG_CACHE_HOME",
                                 Path.home() / ".cache"))
-    return cache / "speex_resampler_tpu" / "libspeex_tpu_runtime.so"
+    return cache / "speex_resampler_tpu" / name
 
 
 _LIB = _lib_path()
