@@ -63,6 +63,7 @@ class _Transition:
         self.core = core
         self.C = channels
         self.buf = np.zeros((0, channels), dtype=np.int16)
+        self.fed = False          # any user frames since the switch?
         self.done = False
         self.hist = None          # [filt_len-1, C] int16 once done
         self.staged_rest = None   # [n, C] int16 once done
@@ -78,6 +79,7 @@ class _Transition:
                                 axis=1)).astype(np.int16)
 
     def feed(self, frames: np.ndarray) -> list[np.ndarray]:
+        self.fed = True
         self.buf = np.concatenate([self.buf, frames])
         return self.pump()
 
@@ -94,7 +96,18 @@ class _Transition:
         self.hist = self.staged_rest = None
         return [out] if out.shape[0] else []
 
-    def pump(self) -> list[np.ndarray]:
+    def pump(self, emit: bool = True) -> list[np.ndarray]:
+        """Drive the transition.  ``emit=False`` (switch time) only
+        attempts the no-output completion repack: C produces NOTHING at a
+        set_rate — outputs (including the magic-sample drain) appear only
+        at the next process call, so spontaneous emission here would
+        diverge from a reference core driven through the same
+        push/switch sequence whenever ANOTHER switch chains before data
+        flows (the stash must instead migrate through update_filter,
+        resample.c:727-782).  For the same reason completion requires the
+        magic stash to be fully drained: re-staging stashed samples as
+        lockstep input is exact under a fixed filter but makes a later
+        chained switch process them under the intermediate config."""
         outs = []
         from ..ops import phase as ph
         while not self.done:
@@ -103,10 +116,9 @@ class _Transition:
             f = int(c.samp_frac_num[0])
             ls = int(c.last_sample[0])
             m_cnt = int(c.magic_samples[0])
-            if f == 0:
-                # absorb the pending origin into history, stage the rest
-                pend = self._pending_frames()
-                stream = np.concatenate([pend, self.buf])
+            if f == 0 and m_cnt == 0:
+                # absorb the window origin into history, stage the rest
+                stream = self.buf
                 if stream.shape[0] < ls:
                     break  # need more input to cover the origin jump
                 N = c.filt_len
@@ -120,7 +132,12 @@ class _Transition:
                 self.buf = np.zeros((0, self.C), dtype=np.int16)
                 self.done = True
                 break
-            k0 = (-f * pow(num % den, -1, den)) % den
+            if not emit:
+                break
+            # at phase 0 with magic still stashed, run to the NEXT phase-0
+            # boundary (den outputs) so the stash keeps draining
+            k0 = (den if f == 0
+                  else (-f * pow(num % den, -1, den)) % den)
             virtual_avail = m_cnt + self.buf.shape[0]
             producible = ph.producible_outputs(virtual_avail, ls, f, num,
                                                den)
@@ -323,9 +340,16 @@ class MultiFleet:
             # the OLD config and must be processed under it BEFORE the
             # core chains set_rate — dropping or deferring them past the
             # switch would diverge from a reference core driven through
-            # the same push/switch sequence
-            for y in st.transition.finish():
-                self._add_carryover(st, y)
+            # the same push/switch sequence.  But if NOTHING was fed
+            # since the switch, C ran no process call under the old
+            # config: the magic stash must stay stashed and migrate
+            # through the chained set_rate (update_filter's grow path
+            # unpacks it, resample.c:727-765) — force-draining it here
+            # would emit it under the intermediate config (found by the
+            # watermark churn fuzz, seed 2024).
+            if st.transition.fed:
+                for y in st.transition.finish():
+                    self._add_carryover(st, y)
             core = st.transition.core
             # release the previously reserved (still inactive) slot
             ob = self._buckets[st.key]
@@ -377,7 +401,7 @@ class MultiFleet:
             core.load_state_dict(snap)
             st.slot = self._buckets[st.key].free.pop()
             st.transition = _Transition(core, C)
-            for y in st.transition.pump():
+            for y in st.transition.pump(emit=False):
                 self._add_carryover(st, y)
             if st.transition.done:
                 self._seed_from_transition(st)
@@ -385,8 +409,8 @@ class MultiFleet:
         st.key = new_key
         st.slot = b_new.free.pop()      # reserved; inactive until seeded
         st.transition = _Transition(core, C)
-        for y in st.transition.pump():  # may complete immediately
-            self._add_carryover(st, y)
+        for y in st.transition.pump(emit=False):  # may complete (clean
+            self._add_carryover(st, y)            # boundary, no magic)
         if st.transition.done:
             self._seed_from_transition(st)
         return sid
@@ -477,9 +501,20 @@ class MultiFleet:
             carry = st.byte_carry + data
             fb = self.channels * 2
             keep = len(carry) - len(carry) % fb
-            st.byte_carry = carry[keep:]
             frames = np.frombuffer(carry[:keep], dtype="<i2").reshape(
                 -1, self.channels)
+            # Apply push()'s refusal checks BEFORE mutating the byte
+            # carry: a refused push must change nothing, or the aligned
+            # bytes are silently dropped and the carry corrupted.  The
+            # carry commit must still precede push() — completing the
+            # transition re-stages st.byte_carry, which by then must hold
+            # only the sub-frame remainder.
+            if self._carryover_full(st):
+                raise ResamplerError(ResamplerErrorCode.ALLOC_FAILED)
+            if (self.max_staged_frames is not None
+                    and frames.shape[0] > self.max_staged_frames):
+                raise ResamplerError(ResamplerErrorCode.ALLOC_FAILED)
+            st.byte_carry = carry[keep:]
             self.push(sid, frames)
             return frames.shape[0]
         n = self._buckets[st.key].fleet.push_bytes(st.slot, data)
@@ -562,6 +597,7 @@ class MultiFleet:
                 "transition": (None if st.transition is None else {
                     "core": st.transition.core.state_dict(),
                     "buf": st.transition.buf.copy(),
+                    "fed": st.transition.fed,
                 }),
             } for sid, st in self._streams.items()},
         }
@@ -595,6 +631,9 @@ class MultiFleet:
                 core.load_state_dict(ss["transition"]["core"])
                 tr = _Transition(core, self.channels)
                 tr.buf = np.array(ss["transition"]["buf"], dtype=np.int16)
+                # pre-"fed" snapshots default to True: the old behavior
+                # (finish() at a chained switch) never loses data
+                tr.fed = bool(ss["transition"].get("fed", True))
                 st.transition = tr
             self._streams[sid] = st
 

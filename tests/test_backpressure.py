@@ -219,6 +219,40 @@ def test_transition_restage_bypasses_watermark():
     assert mf.pull("a").shape[0] > 0
 
 
+def test_transition_push_bytes_refusal_changes_nothing():
+    """A refused mid-transition push_bytes must leave the stream's byte
+    carry (and everything else) untouched — the pre-fix code overwrote
+    st.byte_carry BEFORE the watermark check fired inside push(), so the
+    aligned bytes were silently dropped and the carry corrupted."""
+    W, Q = 200, 700
+    mf, st = _mid_transition_multifleet(Q, W)
+    mf.pull("a")
+    # establish a nonzero byte carry, then saturate the banked watermark
+    mf.push_bytes("a", _frames(3).tobytes() + b"\x55")
+    carry_before = st.byte_carry
+    assert carry_before == b"\x55"
+    st.carryover = _frames(W)           # carryover at the watermark
+    data = _frames(Q + 1).tobytes()     # over the per-chunk bound too
+    with pytest.raises(ResamplerError) as e:
+        mf.push_bytes("a", data)
+    assert e.value.code == ResamplerErrorCode.ALLOC_FAILED
+    assert st.byte_carry == carry_before, "refusal corrupted the carry"
+    assert st.transition is not None
+    # consumer drains; the SAME bytes are then accepted in bounded pieces
+    # with no duplication or loss: total replay = carry + data frames
+    mf.pull("a")
+    accepted = 0
+    step = (Q // 2) * C * 2             # 350-frame pieces, well inside Q
+    for i in range(0, len(data), step):
+        mf.pull("a")
+        accepted += mf.push_bytes("a", data[i:i + step])
+    total_bytes = len(carry_before) + len(data)
+    assert accepted == total_bytes // (2 * C)
+    rem = (st.byte_carry if st.transition is not None
+           else mf._buckets[st.key].fleet.lane_carry(st.slot))
+    assert len(rem) == total_bytes % (2 * C)
+
+
 def test_transition_carryover_bounded():
     """Mid-transition pushes bank output into carryover; the watermarks
     must bound it (round-4 review).  The transition itself can emit at

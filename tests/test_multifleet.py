@@ -281,11 +281,30 @@ def test_multifleet_fuzz_churn(fixed, seed):
     tolerance); output counts may differ by at most one frame per live
     switch (the same boundary quantization the dedicated switch tests
     tolerate)."""
+    _run_churn(fixed, seed, watermarks=False)
+
+
+@pytest.mark.parametrize("seed", [7, 2024])
+@pytest.mark.parametrize("fixed", [False, True])
+def test_multifleet_fuzz_churn_with_watermarks(fixed, seed):
+    """The same churn under tight backpressure watermarks: pushes are
+    randomly REFUSED (ALLOC_FAILED) at staging/banked/carryover bounds,
+    including mid-transition and through checkpoint round-trips.  Pins
+    the atomicity contract — a refused push changes nothing (no lost or
+    duplicated frames, byte carries intact) — and that ``writable()``
+    mirrors every refusal.  Accepted data must replay sample-exactly."""
+    _run_churn(fixed, seed, watermarks=True)
+
+
+def _run_churn(fixed, seed, watermarks):
     rng = np.random.default_rng(seed)
+    wm = dict(max_staged_frames=1200, max_banked_frames=900) \
+        if watermarks else {}
     mf = MultiFleet(channels=1, capacity_per_bucket=3,
                     target_chunk_frames=300, use_pallas=False,
-                    fixed_point=fixed)
+                    fixed_point=fixed, **wm)
     configs = [(24000, 48000, 5), (44100, 48000, 7), (48000, 24000, 4)]
+    refusals = 0
 
     live = {}      # sid -> [cfg, pushed_chunks_and_switch_markers]
     collected = {}  # sid -> [pulled arrays]
@@ -312,8 +331,16 @@ def test_multifleet_fuzz_churn(fixed, seed):
             sid = list(live)[int(rng.integers(len(live)))]
             nb = int(rng.integers(1, 700))
             data = rng.integers(0, 256, size=nb, dtype=np.uint8).tobytes()
-            mf.push_bytes(sid, data)
             whole = pending.get(sid, b"") + data
+            try:
+                mf.push_bytes(sid, data)
+            except ResamplerError:
+                # refusal atomicity: the engine took NOTHING, so the
+                # mirror records nothing; writable() must agree
+                refusals += 1
+                assert watermarks
+                assert not mf.writable(sid, len(whole) // 2)
+                continue
             keep = len(whole) - len(whole) % 2
             pending[sid] = whole[keep:]
             if keep:
@@ -328,7 +355,7 @@ def test_multifleet_fuzz_churn(fixed, seed):
             snap = pickle.loads(pickle.dumps(mf.state_dict()))
             mf2 = MultiFleet(channels=1, capacity_per_bucket=3,
                              target_chunk_frames=300, use_pallas=False,
-                             fixed_point=fixed)
+                             fixed_point=fixed, **wm)
             mf2.load_state_dict(snap)
             mf = mf2
             continue
@@ -347,7 +374,13 @@ def test_multifleet_fuzz_churn(fixed, seed):
             n = int(rng.integers(10, 600))
             data = (rng.integers(-32768, 32768, size=(n, 1)) // 2
                     ).astype(np.int16)
-            mf.push(sid, data)
+            try:
+                mf.push(sid, data)
+            except ResamplerError:
+                refusals += 1
+                assert watermarks
+                assert not mf.writable(sid, n)
+                continue
             live[sid][1].append(data)
         elif op == "poll":
             mf.poll()
@@ -428,6 +461,8 @@ def test_multifleet_fuzz_churn(fixed, seed):
             assert_lsb_close(got[:m].ravel(), ref[:m].ravel())
         checked += 1
     assert checked >= 5  # the fuzz actually exercised streams
+    if watermarks:
+        assert refusals > 0, "watermarks were never hit"
 
 
 def test_multifleet_end_stream_tiled_history(monkeypatch):
@@ -731,3 +766,48 @@ def test_multifleet_chained_rate_switch_mid_transition():
     m = min(got.shape[0], ref.shape[0])
     assert abs(got.shape[0] - ref.shape[0]) <= 2, (got.shape, ref.shape)
     assert_lsb_close(got[:m].ravel(), ref[:m].ravel())
+
+
+@pytest.mark.parametrize("fixed", [False, True])
+def test_multifleet_push_free_chained_rate_switch(fixed):
+    """Two set_stream_rate calls with NO push in between, while the first
+    switch left a magic stash (filter shrink, resample.c:746-765): C runs
+    no process call under the intermediate config, so the stash must stay
+    stashed and migrate through the chained set_rate's update_filter — NOT
+    be force-drained as output under the intermediate filter.  (Found by
+    the watermark churn fuzz, seed 2024: the pre-fix code called
+    transition.finish() unconditionally at the chained switch.)"""
+    rng = np.random.default_rng(2024)
+    xa = (rng.integers(-32768, 32768, size=(500, 1)) // 2).astype(np.int16)
+    xc = (rng.integers(-32768, 32768, size=(2000, 1)) // 2).astype(np.int16)
+    mf = MultiFleet(channels=1, capacity_per_bucket=2,
+                    target_chunk_frames=256, use_pallas=False,
+                    fixed_point=fixed)
+    mf.add_stream("s", 44100, 48000, 7)
+    mf.push("s", xa)
+    mf.poll()
+    mf.set_stream_rate("s", 48000, 24000, 4)   # q7 -> q4 shrinks the filter
+    st = mf._streams["s"]
+    assert st.transition is not None and not st.transition.fed
+    assert int(st.transition.core.magic_samples[0]) > 0, \
+        "precondition lost: the first switch no longer stashes magic"
+    mf.set_stream_rate("s", 24000, 48000, 5)   # chained, push-free
+    mf.push("s", xc)
+    mf.flush()
+    got = mf.pull("s")
+
+    core = ResamplerCore(1, 44100, 48000, 44100, 48000, 7,
+                         fixed_point=fixed)
+    p1 = core.process_interleaved(xa, 10 ** 9)
+    core.set_rate(48000, 24000)
+    core.set_quality(4)
+    core.set_rate(24000, 48000)                # no process in between
+    core.set_quality(5)
+    p3 = core.process_interleaved(xc, 10 ** 9)
+    ref = np.concatenate([p1, p3])
+    m = min(got.shape[0], ref.shape[0])
+    assert abs(got.shape[0] - ref.shape[0]) <= 2, (got.shape, ref.shape)
+    if fixed:
+        assert np.array_equal(got[:m], ref[:m])
+    else:
+        assert_lsb_close(got[:m].ravel(), ref[:m].ravel())
