@@ -155,6 +155,11 @@ def _resolve_scheme(pallas_fir, w_cert: np.ndarray, scheme: str,
     digit-escalating certificate clears the gate, else split5; an explicit
     "int8" request is refused past the hard cap.
     """
+    if scheme not in ("auto", "int8", "split5", "highest"):
+        # reject unknown scheme strings (a typo like "INT8" would
+        # otherwise silently run the ~3x-cost highest path; the fixed
+        # universe already raises for schemes it can't honor)
+        raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
     int8p = None
     if scheme == "auto":
         if pallas_interpret and not AUTO_RESOLVE_UNDER_INTERPRET:
@@ -182,6 +187,32 @@ def _next_hist(hist, x, n_in: int, H: int):
     if n_in >= H:
         return jax.lax.dynamic_slice_in_dim(x, n_in - H, H, axis=0)
     return jnp.concatenate([hist[n_in:], x[:n_in]], axis=0)
+
+
+def _adapt_hist(hist, rows: int, filt_len: int, cols: int) -> np.ndarray:
+    """Re-layout a checkpointed filter history to THIS engine's hist-row
+    geometry.  Valid history always occupies the LAST filt_len-1 rows
+    (no kernel reads a window starting above hist_rows-(filt_len-1);
+    leading rows are kernel-family alignment padding).  A checkpoint
+    taken under a different kernel family (dense: filt_len-1 rows,
+    tiled: 16-aligned rows) therefore restores losslessly — the failover
+    path in docs/serving.md rebuilds the engine on a healthy device,
+    which may resolve a different kernel.  A geometry that cannot be
+    adapted raises INVALID_ARG instead of being accepted and failing
+    inside the first dispatch (where the degradation guard would turn it
+    into permanent silent zero output)."""
+    # np.array (copy), not asarray: a jnp-backed checkpoint hist would
+    # alias as a READ-ONLY view and break degraded-mode slot writes
+    hist = np.array(hist, dtype=np.int16)
+    keep = filt_len - 1
+    if hist.ndim != 2 or hist.shape[1] != cols or hist.shape[0] < keep:
+        raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
+    if hist.shape[0] == rows:
+        return hist
+    out = np.zeros((rows, cols), dtype=np.int16)
+    if keep:
+        out[rows - keep:] = hist[hist.shape[0] - keep:]
+    return out
 
 
 def _hist_rows_tiled(filt_len: int) -> int:
@@ -556,7 +587,7 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
         back = pallas_fir._v3_back(ptw.S, H)
         gp = pallas_fir._v3_periods_per_program(ptw.P)
         V = pallas_fir._v3_views(ptw.S, ptw.K, H, ptw.offsets) + (gp - 1)
-        chunk_rows = (n_periods - back + V - (gp - 1) + (gp - 1)) * ptw.S
+        chunk_rows = (n_periods - back + V) * ptw.S
         offsets = tuple(int(o) for o in ptw.offsets)
         if scheme == "fixed":
             if spec.use_direct:
@@ -1059,10 +1090,12 @@ class BatchedResampler(ZeroFillDegradation):
             self._degraded = True
         if f0 != self._f0:
             self._build_step(f0)
+        hist_np = _adapt_hist(state["hist"], self._step.hist_rows,
+                              self.spec.filt_len, self.B)
         if self._degraded:
-            self._hist = np.array(state["hist"], dtype=np.int16)
+            self._hist = hist_np
         else:
-            hist = jnp.asarray(state["hist"])
+            hist = jnp.asarray(hist_np)
             if self._lane_sharding is not None:
                 hist = jax.device_put(hist, self._lane_sharding)
             self._hist = hist

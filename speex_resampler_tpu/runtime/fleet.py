@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..ops import filter_design as fd
 from ..ops import phase as ph
-from ..parallel.batch import BatchSpec, _launch_geometry, make_batched_step
+from ..parallel.batch import _adapt_hist, _launch_geometry, make_batched_step
 from ..utils.degrade import ZeroFillDegradation
 from ..utils.errors import ResamplerError, ResamplerErrorCode
 from .native import make_stager
@@ -162,7 +162,7 @@ class FleetResampler(ZeroFillDegradation):
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
         if self.max_staged_frames is not None:
             fb = self.channels * 2
-            n = (len(self._stager.carry(stream)) + len(data)) // fb
+            n = (self._stager.carry_size(stream) + len(data)) // fb
             self._check_watermark(stream, n)
         return self._stager.push_bytes(stream, data)
 
@@ -179,6 +179,8 @@ class FleetResampler(ZeroFillDegradation):
         within the watermark).  Producers pushing multi-frame chunks must
         pass their chunk size — the 1-frame default only guards the next
         single frame.  Always True when unbounded."""
+        if self._flushed:
+            return False  # push() always raises after terminal flush()
         if self.max_staged_frames is None:
             return True
         return (self._stager.staged_one(stream) + frames
@@ -411,12 +413,14 @@ class FleetResampler(ZeroFillDegradation):
         if state.get("degraded", False):
             self._degraded = True
         self._flushed = bool(state.get("flushed", False))
+        hist_np = _adapt_hist(state["hist"], self._step.hist_rows,
+                              self.spec.filt_len, self.B)
         if self._degraded:
             # sticky: a healthy checkpoint loaded into a degraded engine
             # must keep the host-ndarray hist (the device may be dead)
-            self._hist = np.array(state["hist"], dtype=np.int16)
+            self._hist = hist_np
         else:
-            self._hist = jnp.asarray(state["hist"])
+            self._hist = jnp.asarray(hist_np)
         self._stager = make_stager(self.n_streams, self.channels,
                                    self.bspec.in_per_launch)
         # restore occupancy before staging (deactivation clears staging)

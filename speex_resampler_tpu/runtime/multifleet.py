@@ -68,16 +68,6 @@ class _Transition:
         self.hist = None          # [filt_len-1, C] int16 once done
         self.staged_rest = None   # [n, C] int16 once done
 
-    def _pending_frames(self) -> np.ndarray:
-        """Stashed magic samples as int16 frames (they are verbatim copies
-        of int16 input on the int path, so the cast is exact)."""
-        c = self.core
-        m = int(c.magic_samples[0])
-        if m == 0:
-            return np.zeros((0, self.C), dtype=np.int16)
-        return np.rint(np.stack([c._pending[ch] for ch in range(self.C)],
-                                axis=1)).astype(np.int16)
-
     def feed(self, frames: np.ndarray) -> list[np.ndarray]:
         self.fed = True
         self.buf = np.concatenate([self.buf, frames])
@@ -194,7 +184,8 @@ class MultiFleet:
                  max_latency_ms: float | None = None,
                  max_staged_frames: int | None = None,
                  max_banked_frames: int | None = None,
-                 pipeline_depth: int = 2):
+                 pipeline_depth: int = 2,
+                 max_idle_buckets: int | None = 8):
         """``max_staged_frames`` / ``max_banked_frames`` bound per-stream
         host memory in every bucket (see FleetResampler's backpressure
         contract / docs/serving.md).  The watermarks also bound a
@@ -204,7 +195,14 @@ class MultiFleet:
         ``max_staged_frames`` is refused exactly as the lockstep path
         would refuse it, so carryover never exceeds
         ``max_banked_frames + ceil(max_staged_frames * out/in)`` plus the
-        transition's ≤den-1-output tail."""
+        transition's ≤den-1-output tail.
+
+        ``max_idle_buckets`` bounds bucket memory under config churn: a
+        bucket whose last stream detaches goes on an LRU idle list, and
+        the oldest idle buckets (compiled engine + weight tables + native
+        stager) are released beyond the cap.  A config that returns later
+        transparently rebuilds its bucket (one engine-construction cost).
+        ``None`` keeps every bucket forever (the pre-knob behavior)."""
         self.channels = channels
         self.capacity = capacity_per_bucket
         self._target = target_chunk_frames
@@ -215,7 +213,10 @@ class MultiFleet:
         self.max_staged_frames = max_staged_frames
         self.max_banked_frames = max_banked_frames
         self._pipeline_depth = pipeline_depth
+        self.max_idle_buckets = max_idle_buckets
         self._buckets: dict[tuple, _Bucket] = {}
+        # insertion-ordered LRU of keys whose bucket is fully unoccupied
+        self._idle: dict[tuple, None] = {}
         self._streams: dict[object, _Stream] = {}
 
     def _new_fleet(self, in_rate: int, out_rate: int,
@@ -232,16 +233,41 @@ class MultiFleet:
             max_banked_frames=self.max_banked_frames,
             pipeline_depth=self._pipeline_depth)
 
+    def _bucket_for(self, key: tuple) -> _Bucket:
+        """Get-or-create the bucket for a config key (an LRU-evicted idle
+        bucket transparently rebuilds here).  Pins the key off the idle
+        list: the caller is about to occupy it, and an eviction sweep
+        must never drop a bucket a caller holds a reference to."""
+        self._idle.pop(key, None)
+        b = self._buckets.get(key)
+        if b is None:
+            b = _Bucket(self._new_fleet(*key))
+            self._buckets[key] = b
+        return b
+
+    def _note_slot_released(self, key: tuple) -> None:
+        """Track empty buckets; release the oldest past max_idle_buckets
+        (an empty bucket owes nothing — ended streams' tails live on the
+        _Stream records, never in the bucket)."""
+        b = self._buckets.get(key)
+        if b is None or b.occupied:
+            return
+        self._idle.pop(key, None)
+        self._idle[key] = None
+        if self.max_idle_buckets is None:
+            return
+        while len(self._idle) > self.max_idle_buckets:
+            k = next(iter(self._idle))
+            del self._idle[k]
+            del self._buckets[k]
+
     # -- stream lifecycle --------------------------------------------------
 
     def add_stream(self, sid, in_rate: int, out_rate: int, quality: int = 7):
         if sid in self._streams:
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
         key = (in_rate, out_rate, quality)
-        b = self._buckets.get(key)
-        if b is None:
-            b = _Bucket(self._new_fleet(in_rate, out_rate, quality))
-            self._buckets[key] = b
+        b = self._bucket_for(key)
         if not b.free:
             raise ResamplerError(ResamplerErrorCode.ALLOC_FAILED)
         slot = b.free.pop()
@@ -268,6 +294,7 @@ class MultiFleet:
             # the reserved slot was never activated; just release it
             self._buckets[st.key].free.append(st.slot)
             st.slot = None
+            self._note_slot_released(st.key)
             return
         if st.slot is None:
             return
@@ -325,10 +352,7 @@ class MultiFleet:
         new_key = (in_rate, out_rate, quality)
         # Reserve the destination slot BEFORE tearing the old lane down: a
         # full target bucket must fail up front, not after the drain.
-        b_new = self._buckets.get(new_key)
-        if b_new is None:
-            b_new = _Bucket(self._new_fleet(in_rate, out_rate, quality))
-            self._buckets[new_key] = b_new
+        b_new = self._bucket_for(new_key)
         frees_own = (new_key == st.key and st.slot is not None)
         if not b_new.free and not frees_own:
             raise ResamplerError(ResamplerErrorCode.ALLOC_FAILED)
@@ -355,6 +379,7 @@ class MultiFleet:
             ob = self._buckets[st.key]
             ob.free.append(st.slot)
             st.slot = None
+            self._note_slot_released(st.key)
         else:
             b_old = self._buckets[st.key]
             fleet = b_old.fleet
@@ -399,12 +424,16 @@ class MultiFleet:
             core = ResamplerCore(C, ir0, or0, ir0, or0, q0,
                                  fixed_point=self.fixed_point)
             core.load_state_dict(snap)
-            st.slot = self._buckets[st.key].free.pop()
+            # _bucket_for: the old bucket may have been LRU-released when
+            # this (sole) stream's lane was torn down above
+            st.slot = self._bucket_for(st.key).free.pop()
             st.transition = _Transition(core, C)
             for y in st.transition.pump(emit=False):
                 self._add_carryover(st, y)
             if st.transition.done:
                 self._seed_from_transition(st)
+            # the reserved-then-unused new bucket may now be empty
+            self._note_slot_released(new_key)
             raise
         st.key = new_key
         st.slot = b_new.free.pop()      # reserved; inactive until seeded
@@ -608,6 +637,7 @@ class MultiFleet:
                 state.get("fixed_point", False) != self.fixed_point:
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
         self._buckets = {}
+        self._idle = {}
         for k, bs in state["buckets"].items():
             ir, orr, q = k
             b = _Bucket(self._new_fleet(ir, orr, q))
@@ -616,6 +646,10 @@ class MultiFleet:
             b.fleet.load_state_dict(bs["fleet"])
             b.free = list(bs["free"])
             self._buckets[k] = b
+        for k in list(state["buckets"]):
+            # restored-empty buckets join the idle LRU (and the cap
+            # applies, so a restore cannot resurrect an unbounded set)
+            self._note_slot_released(k)
         self._streams = {}
         for sid, ss in state["streams"].items():
             st = _Stream(key=tuple(ss["key"]), slot=ss["slot"],
@@ -658,6 +692,7 @@ class MultiFleet:
         b.fleet._out[st.slot] = []
         b.free.append(st.slot)
         st.slot = None
+        self._note_slot_released(st.key)
 
     def _gc(self, sid):
         st = self._streams.get(sid)

@@ -163,7 +163,12 @@ class NativeStager:
     def push(self, stream: int, frames: np.ndarray) -> None:
         """frames: int16 [n, C] interleaved."""
         f = np.ascontiguousarray(frames, dtype=np.int16)
-        assert f.ndim == 2 and f.shape[1] == self.channels, f.shape
+        # explicit raise, not assert: these guard raw ctypes pointer
+        # calls, and `python -O` strips asserts (an accepted bad shape
+        # would be an out-of-bounds memcpy in the C scatter/gather)
+        if f.ndim != 2 or f.shape[1] != self.channels:
+            raise ValueError(
+                f"frames must be [n, {self.channels}] int16, got {f.shape}")
         rc = self._lib.srt_push(self._h, stream, _ptr(f), f.shape[0])
         if rc != 0:
             raise ValueError(f"srt_push failed for stream {stream}")
@@ -212,8 +217,12 @@ class NativeStager:
         if out is None:
             slab = np.empty((self.n_in, self.B), dtype=np.int16)
         else:
-            assert out.dtype == np.int16 and out.flags["C_CONTIGUOUS"]
-            assert out.shape[0] >= self.n_in and out.shape[1] == self.B
+            if not (out.dtype == np.int16 and out.flags["C_CONTIGUOUS"]
+                    and out.ndim == 2 and out.shape[0] >= self.n_in
+                    and out.shape[1] == self.B):
+                raise ValueError(
+                    f"out must be C-contiguous int16 [>= {self.n_in}, "
+                    f"{self.B}], got {out.dtype} {out.shape}")
             slab = out
         rc = self._lib.srt_fill_launch(self._h, _ptr(slab))
         if rc != 0:
@@ -227,8 +236,12 @@ class NativeStager:
         contiguous rows — the cache-friendly twin of ``fill_launch`` (the
         time-major transpose instead rides the device inside the jitted
         step)."""
-        assert out.dtype == np.int16 and out.flags["C_CONTIGUOUS"]
-        assert out.shape[0] == self.B and out.shape[1] >= self.n_in
+        if not (out.dtype == np.int16 and out.flags["C_CONTIGUOUS"]
+                and out.ndim == 2 and out.shape[0] == self.B
+                and out.shape[1] >= self.n_in):
+            raise ValueError(
+                f"out must be C-contiguous int16 [{self.B}, >= "
+                f"{self.n_in}], got {out.dtype} {out.shape}")
         rc = self._lib.srt_fill_launch_lm(self._h, _ptr(out), out.shape[1])
         if rc != 0:
             raise ValueError("not enough staged frames for a launch")
@@ -244,8 +257,11 @@ class NativeStager:
         n_out = y.shape[1]
         dst = out if out is not None else np.empty(
             (self.n_streams, n_out, self.channels), dtype=np.int16)
-        assert dst.shape == (self.n_streams, n_out, self.channels) \
-            and dst.dtype == np.int16 and dst.flags["C_CONTIGUOUS"]
+        if not (dst.shape == (self.n_streams, n_out, self.channels)
+                and dst.dtype == np.int16 and dst.flags["C_CONTIGUOUS"]):
+            raise ValueError(
+                f"out must be C-contiguous int16 [{self.n_streams}, "
+                f"{n_out}, {self.channels}], got {dst.dtype} {dst.shape}")
         self._lib.srt_unpack_all_lm(self._h, _ptr(y), n_out, _ptr(dst))
         return dst
 
@@ -267,14 +283,20 @@ class NativeStager:
         return dst
 
     def carry(self, stream: int) -> bytes:
-        n = int(self._lib.srt_carry_size(self._h, stream))
-        if n < 0:
-            raise IndexError(f"bad stream {stream}")
+        n = self.carry_size(stream)
         if not n:
             return b""
         dst = np.empty(n, dtype=np.uint8)
         self._lib.srt_get_carry(self._h, stream, _ptr(dst))
         return dst.tobytes()
+
+    def carry_size(self, stream: int) -> int:
+        """Pending alignment-carry bytes, O(1) (per-push backpressure
+        math — ``carry()`` materializes the bytes and allocates)."""
+        n = int(self._lib.srt_carry_size(self._h, stream))
+        if n < 0:
+            raise IndexError(f"bad stream {stream}")
+        return n
 
     def unpack_all(self, y: np.ndarray) -> np.ndarray:
         """y: int16 [n_out, B] -> [S, n_out, C]."""
@@ -313,7 +335,9 @@ class PyStager:
 
     def push(self, stream: int, frames: np.ndarray) -> None:
         f = np.ascontiguousarray(frames, dtype=np.int16)
-        assert f.ndim == 2 and f.shape[1] == self.channels, f.shape
+        if f.ndim != 2 or f.shape[1] != self.channels:
+            raise ValueError(
+                f"frames must be [n, {self.channels}] int16, got {f.shape}")
         self._bufs[stream] = np.concatenate([self._bufs[stream], f])
 
     def push_bytes(self, stream: int, data: bytes) -> int:
@@ -405,6 +429,9 @@ class PyStager:
 
     def carry(self, stream: int) -> bytes:
         return self._carry[stream]
+
+    def carry_size(self, stream: int) -> int:
+        return len(self._carry[stream])
 
     def unpack_all(self, y: np.ndarray) -> np.ndarray:
         n_out = y.shape[0]

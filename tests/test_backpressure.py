@@ -275,3 +275,20 @@ def test_transition_carryover_bounded():
         if st.carryover is not None:
             assert len(st.carryover) <= W + 147
     assert st.transition is None, "transition never completed"
+
+
+def test_writable_false_after_flush():
+    """flush() is terminal: push() always raises afterwards, so the pause
+    signal must report not-writable instead of green-lighting a push
+    that is guaranteed to fail (the documented writable->push pattern)."""
+    fl = _fleet(max_staged_frames=4096)
+    fl.push(0, _frames(64))
+    assert fl.writable(0, 64)
+    fl.flush()
+    assert not fl.writable(0, 1)
+    with pytest.raises(ResamplerError):
+        fl.push(0, _frames(1))
+    # unbounded engines flush too: same contract
+    fl2 = _fleet()
+    fl2.flush()
+    assert not fl2.writable(0, 1)

@@ -224,3 +224,114 @@ def test_multifleet_checkpoint_roundtrip():
         assert got[s].shape == want[s].shape, (s, got[s].shape,
                                                want[s].shape)
         assert np.array_equal(got[s], want[s]), s
+
+
+def test_cross_kernel_hist_geometry_restore():
+    """A checkpoint taken under one kernel family restores into an engine
+    that resolved a DIFFERENT family (the docs/serving.md failover path:
+    rebuild on a healthy device, which may pick another kernel).  Hist
+    row counts differ (tiled pads filt_len-1 up to the 16-row sublane
+    tile; dense uses filt_len-1 exactly); _adapt_hist re-layouts the
+    valid history, so the resumed run is bit-identical to an
+    uninterrupted one.  Before the adapter, the mis-shaped hist was
+    accepted and the first dispatch failed INSIDE the degradation guard
+    -> permanent silent zero output.  FIXED universe: bit-exact across
+    kernel families (float kernels may tie-break ±1 LSB differently)."""
+    S, C, n = 2, 1, 3200
+    rng = np.random.default_rng(11)
+    x = (rng.integers(-32768, 32768, size=(S, n, C)) // 2).astype(np.int16)
+
+    def dense():
+        return BatchedResampler(S, C, 44100, 48000, 7, use_pallas=False,
+                                fixed_point=True)
+
+    def tiled():
+        return BatchedResampler(S, C, 44100, 48000, 7, use_pallas=True,
+                                pallas_interpret=True, fixed_point=True)
+
+    a, b = tiled(), dense()
+    assert a._step.hist_rows != b._step.hist_rows, \
+        "geometries coincide; test needs distinct hist layouts"
+
+    ref = dense()
+    full = np.concatenate([ref.process(x), ref.flush()], axis=1)
+
+    y1 = a.process(x[:, :2000])
+    blob = pickle.dumps(a.state_dict())
+    b.load_state_dict(pickle.loads(blob))
+    y2 = np.concatenate([b.process(x[:, 2000:]), b.flush()], axis=1)
+    resumed = np.concatenate([y1, y2], axis=1)
+    assert resumed.shape == full.shape
+    assert np.array_equal(resumed, full)
+
+
+def test_restore_rejects_wrong_hist_columns():
+    """A hist whose lane axis disagrees with the engine geometry must
+    raise INVALID_ARG up front, never enter the dispatch path."""
+    from speex_resampler_tpu.utils.errors import ResamplerError
+
+    a = BatchedResampler(2, 1, 44100, 48000, 7, use_pallas=False)
+    sd = a.state_dict()
+    sd["hist"] = np.zeros((np.asarray(sd["hist"]).shape[0], 7), np.int16)
+    b = BatchedResampler(2, 1, 44100, 48000, 7, use_pallas=False)
+    with pytest.raises(ResamplerError):
+        b.load_state_dict(sd)
+    # too few rows to contain filt_len-1 valid history: also rejected
+    sd2 = a.state_dict()
+    sd2["hist"] = np.asarray(sd2["hist"])[-3:]
+    with pytest.raises(ResamplerError):
+        b.load_state_dict(sd2)
+
+
+def test_fleet_cross_kernel_restore():
+    """Same cross-geometry restore at the fleet level: checkpoint a
+    tiled-kernel fleet, restore into a dense-kernel fleet, outputs match
+    an uninterrupted dense fleet.  Run in the FIXED universe, which is
+    bit-exact across kernel families (float kernels are each ≤1 LSB vs
+    the oracle but may tie-break differently from each other)."""
+    S, C = 2, 1
+    a = FleetResampler(S, C, 44100, 48000, 7, use_pallas=True,
+                       pallas_interpret=True, target_chunk_frames=512,
+                       fixed_point=True)
+    # head must exceed the tiled fleet's launch quantum so a REAL launch
+    # populates the history before the checkpoint (otherwise the adapter
+    # only ever sees zeros)
+    head = 2 * a.bspec.in_per_launch
+    rng = np.random.default_rng(13)
+    x = [(rng.integers(-32768, 32768, size=(head + 1100, C)) // 2)
+         .astype(np.int16) for _ in range(S)]
+
+    def drive_tail(fl):
+        for s in range(S):
+            fl.push(s, x[s][head:])
+        fl.poll()
+        fl.flush()
+        return [fl.pull(s) for s in range(S)]
+
+    ref = FleetResampler(S, C, 44100, 48000, 7, use_pallas=False,
+                         target_chunk_frames=512, fixed_point=True)
+    for s in range(S):
+        ref.push(s, x[s][:head])
+    ref.poll()
+    want_head = [ref.pull(s) for s in range(S)]
+    want_tail = drive_tail(ref)
+
+    for s in range(S):
+        a.push(s, x[s][:head])
+    a.poll()
+    got_head = [a.pull(s) for s in range(S)]
+    assert min(len(h) for h in got_head) > 0, "no launch before checkpoint"
+    blob = pickle.dumps(a.state_dict())
+
+    b = FleetResampler(S, C, 44100, 48000, 7, use_pallas=False,
+                       target_chunk_frames=512, fixed_point=True)
+    assert a._step.hist_rows != b._step.hist_rows
+    b.load_state_dict(pickle.loads(blob))
+    got_tail = drive_tail(b)
+
+    # launch quanta differ between the two geometries, so the head/tail
+    # SPLIT differs; the checkpoint contract is total-output equality
+    for s in range(S):
+        got = np.concatenate([got_head[s], got_tail[s]])
+        want = np.concatenate([want_head[s], want_tail[s]])
+        assert np.array_equal(got, want), s

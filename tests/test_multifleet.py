@@ -811,3 +811,75 @@ def test_multifleet_push_free_chained_rate_switch(fixed):
         assert np.array_equal(got[:m], ref[:m])
     else:
         assert_lsb_close(got[:m].ravel(), ref[:m].ravel())
+
+
+def test_idle_bucket_lru_eviction_and_rebuild():
+    """Bucket memory is bounded under config churn: a bucket whose last
+    stream detaches joins an idle LRU, the oldest beyond max_idle_buckets
+    is released, and a config that returns later transparently rebuilds
+    its bucket and serves correctly."""
+    mf = MultiFleet(channels=1, capacity_per_bucket=2,
+                    target_chunk_frames=256, use_pallas=False,
+                    max_idle_buckets=2)
+    rng = np.random.default_rng(7)
+    x = (rng.integers(-32768, 32768, size=(900, 1)) // 2).astype(np.int16)
+    configs = [(44100, 48000, 7), (24000, 48000, 5),
+               (48000, 44100, 4), (32000, 48000, 3)]
+    def run_one(sid, ir, orr, q):
+        mf.add_stream(sid, ir, orr, q)
+        mf.push(sid, x)
+        mf.poll()
+        mf.end_stream(sid)          # exact sub-quantum drain
+        got = mf.pull(sid)          # collects tail; record gc's
+        core = ResamplerCore(1, ir, orr, ir, orr, q)
+        want = core.process_interleaved(x, 10 ** 9)
+        m = min(got.shape[0], want.shape[0])
+        assert m > 0
+        assert_lsb_close(got[:m].ravel(), want[:m].ravel())
+
+    for i, (ir, orr, q) in enumerate(configs):
+        run_one(f"s{i}", ir, orr, q)
+        assert len(mf._buckets) <= 2, (i, list(mf._buckets))
+    # an evicted config returns: bucket rebuilds transparently
+    run_one("again", *configs[0])
+
+
+def test_idle_bucket_default_bound_and_opt_out():
+    """Default max_idle_buckets bounds bucket count; None keeps every
+    bucket (pre-knob behavior)."""
+    assert MultiFleet(channels=1).max_idle_buckets is not None
+    mf = MultiFleet(channels=1, capacity_per_bucket=1,
+                    target_chunk_frames=256, use_pallas=False,
+                    max_idle_buckets=None)
+    for i, orr in enumerate((48000, 24000, 32000)):
+        sid = f"k{i}"
+        mf.add_stream(sid, 44100, orr, 4)
+        mf.end_stream(sid)
+        mf.pull(sid)
+    assert len(mf._buckets) == 3  # opt-out: all retained
+
+
+def test_occupied_bucket_never_evicted():
+    """Only fully-unoccupied buckets are eviction candidates; live
+    streams pin their bucket regardless of churn around them."""
+    mf = MultiFleet(channels=1, capacity_per_bucket=2,
+                    target_chunk_frames=256, use_pallas=False,
+                    max_idle_buckets=1)
+    rng = np.random.default_rng(9)
+    x = (rng.integers(-32768, 32768, size=(700, 1)) // 2).astype(np.int16)
+    mf.add_stream("live", 44100, 48000, 7)
+    mf.push("live", x[:300])
+    live_key = (44100, 48000, 7)
+    for i, orr in enumerate((24000, 32000, 16000)):
+        sid = f"churn{i}"
+        mf.add_stream(sid, 44100, orr, 4)
+        mf.end_stream(sid)
+        mf.pull(sid)
+        assert live_key in mf._buckets
+    mf.push("live", x[300:])
+    mf.flush()
+    got = mf.pull("live")
+    core = ResamplerCore(1, 44100, 48000, 44100, 48000, 7)
+    want = core.process_interleaved(x, 10 ** 9)
+    m = min(got.shape[0], want.shape[0])
+    assert_lsb_close(got[:m].ravel(), want[:m].ravel())

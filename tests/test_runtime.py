@@ -321,3 +321,35 @@ def test_fleet_phase_stats_attribution():
             st.phase_seconds[phase] * 1e3 / st.launches, abs=5e-5)
     assert st.launches == 2
     assert "phase_ms_per_launch" in st.as_dict()
+
+
+def test_stager_boundary_validation_raises():
+    """Shape/contiguity guards in front of the raw ctypes calls must
+    RAISE (python -O strips asserts; an accepted bad shape would be an
+    out-of-bounds memcpy in the C gather/scatter)."""
+    from speex_resampler_tpu.runtime.native import NativeStager, PyStager
+    for st in (NativeStager(2, 2, 32), PyStager(2, 2, 32)):
+        with pytest.raises(ValueError):
+            st.push(0, np.zeros(64, dtype=np.int16))       # 1-D
+        with pytest.raises(ValueError):
+            st.push(0, np.zeros((4, 3), dtype=np.int16))   # wrong C
+    nat = NativeStager(2, 2, 32)
+    with pytest.raises(ValueError):
+        nat.fill_launch(out=np.zeros((8, 4), dtype=np.int16))   # short
+    with pytest.raises(ValueError):
+        nat.fill_launch_lm(np.zeros((4, 8), dtype=np.float32))  # dtype
+    with pytest.raises(ValueError):
+        nat.unpack_all_lm(np.zeros((4, 8), dtype=np.int16),
+                          out=np.zeros((2, 8, 1), dtype=np.int16))
+
+
+def test_stager_carry_size_matches_carry():
+    """carry_size (the O(1) backpressure probe) always equals
+    len(carry())."""
+    from speex_resampler_tpu.runtime.native import NativeStager, PyStager
+    for st in (NativeStager(1, 2, 16), PyStager(1, 2, 16)):
+        assert st.carry_size(0) == 0
+        st.push_bytes(0, b"\x01\x02\x03")      # 3 bytes: carry 3 (frame=4)
+        assert st.carry_size(0) == len(st.carry(0)) == 3
+        st.push_bytes(0, b"\x04\x05")          # completes a frame, carry 1
+        assert st.carry_size(0) == len(st.carry(0)) == 1
