@@ -217,6 +217,10 @@ class MultiFleet:
         self._buckets: dict[tuple, _Bucket] = {}
         # insertion-ordered LRU of keys whose bucket is fully unoccupied
         self._idle: dict[tuple, None] = {}
+        # keys a caller currently holds a _Bucket reference to (e.g. the
+        # rate-switch destination between reservation and seeding): the
+        # eviction sweep must never drop these even when momentarily empty
+        self._pinned: set[tuple] = set()
         self._streams: dict[object, _Stream] = {}
 
     def _new_fleet(self, in_rate: int, out_rate: int,
@@ -254,12 +258,26 @@ class MultiFleet:
             return
         self._idle.pop(key, None)
         self._idle[key] = None
+        self._evict_idle()
+
+    def _evict_idle(self) -> None:
+        """Release the oldest idle buckets past ``max_idle_buckets``.
+        Skips pinned keys (a caller holds the bucket mid-operation — e.g.
+        a same-key rate switch whose _drop_slot momentarily empties the
+        destination it is about to re-occupy) and drops stale entries
+        whose bucket was re-occupied without passing through _bucket_for
+        instead of deleting a live bucket."""
         if self.max_idle_buckets is None:
             return
-        while len(self._idle) > self.max_idle_buckets:
-            k = next(iter(self._idle))
+        for k in list(self._idle):
+            if len(self._idle) <= self.max_idle_buckets:
+                break
+            if k in self._pinned:
+                continue
             del self._idle[k]
-            del self._buckets[k]
+            b = self._buckets.get(k)
+            if b is not None and not b.occupied:
+                del self._buckets[k]
 
     # -- stream lifecycle --------------------------------------------------
 
@@ -357,92 +375,100 @@ class MultiFleet:
         if not b_new.free and not frees_own:
             raise ResamplerError(ResamplerErrorCode.ALLOC_FAILED)
 
-        C = self.channels
-        if st.transition is not None:
-            # switching again mid-transition: frames the transition
-            # retained (awaiting its phase-0 boundary) were pushed under
-            # the OLD config and must be processed under it BEFORE the
-            # core chains set_rate — dropping or deferring them past the
-            # switch would diverge from a reference core driven through
-            # the same push/switch sequence.  But if NOTHING was fed
-            # since the switch, C ran no process call under the old
-            # config: the magic stash must stay stashed and migrate
-            # through the chained set_rate (update_filter's grow path
-            # unpacks it, resample.c:727-765) — force-draining it here
-            # would emit it under the intermediate config (found by the
-            # watermark churn fuzz, seed 2024).
-            if st.transition.fed:
-                for y in st.transition.finish():
-                    self._add_carryover(st, y)
-            core = st.transition.core
-            # release the previously reserved (still inactive) slot
-            ob = self._buckets[st.key]
-            ob.free.append(st.slot)
-            st.slot = None
-            self._note_slot_released(st.key)
-        else:
-            b_old = self._buckets[st.key]
-            fleet = b_old.fleet
-            banked = fleet.pull(st.slot)
-            tail_in = fleet.peek_staged(st.slot)
-            # salvage the byte-alignment carry before deactivation clears
-            # it; it prefixes whatever push_bytes delivers next
-            st.byte_carry = (fleet.lane_carry(st.slot)
-                              + st.byte_carry)
-            hist = fleet.lane_history(st.slot)
-            ir0, or0, q0 = st.key
-            core = ResamplerCore(C, ir0, or0, ir0, or0, q0,
-                                 fixed_point=self.fixed_point)
-            if st.real_frames > 0:
-                core.import_history(hist)
-            # else: virgin stream (nothing ever pushed) — the equivalent C
-            # state is UNSTARTED, and set_rate on an unstarted state takes
-            # update_filter's fresh path (resample.c:721-726): no magic
-            # migration, no history shift.  import_history would force
-            # started=1 and emit ~filt_len/2 spurious magic-drain outputs.
-            parts = [banked] if len(banked) else []
-            if len(tail_in):
-                parts.append(core.process_interleaved(tail_in, _BIG))
-            if parts:
-                self._add_carryover(st, np.concatenate(parts))
-            # free the old slot, then take the new one
-            self._drop_slot(st)
-
-        # The reference CAN reject a switch (multiply_frac's uint32 guard
-        # rescaling samp_frac_num, update_filter's INT_MAX guards —
-        # resample.c:593-603, :1134).  The lane is already torn down by
-        # now, so on rejection restore the pre-switch core and keep
-        # serving the stream under its OLD config through a transition
-        # (phase may be nonzero, so it cannot re-seed a lockstep lane
-        # directly), then surface the error like C's return code.
-        snap = core.state_dict()
+        self._pinned.add(new_key)
         try:
-            core.set_rate(in_rate, out_rate)
-            core.set_quality(quality)
-        except ResamplerError:
-            ir0, or0, q0 = st.key
-            core = ResamplerCore(C, ir0, or0, ir0, or0, q0,
-                                 fixed_point=self.fixed_point)
-            core.load_state_dict(snap)
-            # _bucket_for: the old bucket may have been LRU-released when
-            # this (sole) stream's lane was torn down above
-            st.slot = self._bucket_for(st.key).free.pop()
+            C = self.channels
+            if st.transition is not None:
+                # switching again mid-transition: frames the transition
+                # retained (awaiting its phase-0 boundary) were pushed under
+                # the OLD config and must be processed under it BEFORE the
+                # core chains set_rate — dropping or deferring them past the
+                # switch would diverge from a reference core driven through
+                # the same push/switch sequence.  But if NOTHING was fed
+                # since the switch, C ran no process call under the old
+                # config: the magic stash must stay stashed and migrate
+                # through the chained set_rate (update_filter's grow path
+                # unpacks it, resample.c:727-765) — force-draining it here
+                # would emit it under the intermediate config (found by the
+                # watermark churn fuzz, seed 2024).
+                if st.transition.fed:
+                    for y in st.transition.finish():
+                        self._add_carryover(st, y)
+                core = st.transition.core
+                # release the previously reserved (still inactive) slot
+                ob = self._buckets[st.key]
+                ob.free.append(st.slot)
+                st.slot = None
+                self._note_slot_released(st.key)
+            else:
+                b_old = self._buckets[st.key]
+                fleet = b_old.fleet
+                banked = fleet.pull(st.slot)
+                tail_in = fleet.peek_staged(st.slot)
+                # salvage the byte-alignment carry before deactivation clears
+                # it; it prefixes whatever push_bytes delivers next
+                st.byte_carry = (fleet.lane_carry(st.slot)
+                                  + st.byte_carry)
+                hist = fleet.lane_history(st.slot)
+                ir0, or0, q0 = st.key
+                core = ResamplerCore(C, ir0, or0, ir0, or0, q0,
+                                     fixed_point=self.fixed_point)
+                if st.real_frames > 0:
+                    core.import_history(hist)
+                # else: virgin stream (nothing ever pushed) — the equivalent C
+                # state is UNSTARTED, and set_rate on an unstarted state takes
+                # update_filter's fresh path (resample.c:721-726): no magic
+                # migration, no history shift.  import_history would force
+                # started=1 and emit ~filt_len/2 spurious magic-drain outputs.
+                parts = [banked] if len(banked) else []
+                if len(tail_in):
+                    parts.append(core.process_interleaved(tail_in, _BIG))
+                if parts:
+                    self._add_carryover(st, np.concatenate(parts))
+                # free the old slot, then take the new one
+                self._drop_slot(st)
+
+            # The reference CAN reject a switch (multiply_frac's uint32 guard
+            # rescaling samp_frac_num, update_filter's INT_MAX guards —
+            # resample.c:593-603, :1134).  The lane is already torn down by
+            # now, so on rejection restore the pre-switch core and keep
+            # serving the stream under its OLD config through a transition
+            # (phase may be nonzero, so it cannot re-seed a lockstep lane
+            # directly), then surface the error like C's return code.
+            snap = core.state_dict()
+            try:
+                core.set_rate(in_rate, out_rate)
+                core.set_quality(quality)
+            except ResamplerError:
+                ir0, or0, q0 = st.key
+                core = ResamplerCore(C, ir0, or0, ir0, or0, q0,
+                                     fixed_point=self.fixed_point)
+                core.load_state_dict(snap)
+                # _bucket_for: the old bucket may have been LRU-released when
+                # this (sole) stream's lane was torn down above
+                st.slot = self._bucket_for(st.key).free.pop()
+                st.transition = _Transition(core, C)
+                for y in st.transition.pump(emit=False):
+                    self._add_carryover(st, y)
+                if st.transition.done:
+                    self._seed_from_transition(st)
+                # the reserved-then-unused new bucket may now be empty
+                self._note_slot_released(new_key)
+                raise
+            st.key = new_key
+            st.slot = b_new.free.pop()      # reserved; inactive until seeded
             st.transition = _Transition(core, C)
-            for y in st.transition.pump(emit=False):
-                self._add_carryover(st, y)
+            for y in st.transition.pump(emit=False):  # may complete (clean
+                self._add_carryover(st, y)            # boundary, no magic)
             if st.transition.done:
                 self._seed_from_transition(st)
-            # the reserved-then-unused new bucket may now be empty
-            self._note_slot_released(new_key)
-            raise
-        st.key = new_key
-        st.slot = b_new.free.pop()      # reserved; inactive until seeded
-        st.transition = _Transition(core, C)
-        for y in st.transition.pump(emit=False):  # may complete (clean
-            self._add_carryover(st, y)            # boundary, no magic)
-        if st.transition.done:
-            self._seed_from_transition(st)
-        return sid
+            return sid
+        finally:
+            # unpin, then sweep: evictions the pin deferred
+            # (including new_key itself if the switch was
+            # rejected and the bucket stayed empty) happen now
+            self._pinned.discard(new_key)
+            self._evict_idle()
 
     def _add_carryover(self, st: _Stream, out: np.ndarray) -> None:
         if out is None or not len(out):
@@ -616,6 +642,9 @@ class MultiFleet:
             "buckets": {k: {"fleet": b.fleet.state_dict(),
                             "free": list(b.free)}
                         for k, b in self._buckets.items()},
+            # idle-LRU recency order (oldest first) so a restore evicts
+            # in the donor's order, not state-dict iteration order
+            "idle": list(self._idle),
             "streams": {sid: {
                 "key": st.key, "slot": st.slot,
                 "real_frames": st.real_frames, "pulled": st.pulled,
@@ -646,10 +675,16 @@ class MultiFleet:
             b.fleet.load_state_dict(bs["fleet"])
             b.free = list(bs["free"])
             self._buckets[k] = b
-        for k in list(state["buckets"]):
-            # restored-empty buckets join the idle LRU (and the cap
-            # applies, so a restore cannot resurrect an unbounded set)
-            self._note_slot_released(k)
+        # restored-empty buckets join the idle LRU (and the cap applies,
+        # so a restore cannot resurrect an unbounded set) — replaying the
+        # donor's recency order first so post-restore eviction picks the
+        # donor's oldest idle config, not an arbitrary recently-used one
+        donor_order = [tuple(k) for k in state.get("idle", [])]
+        rest = [k for k in state["buckets"] if tuple(k) not in
+                set(donor_order)]
+        for k in donor_order + rest:
+            if tuple(k) in self._buckets:
+                self._note_slot_released(tuple(k))
         self._streams = {}
         for sid, ss in state["streams"].items():
             st = _Stream(key=tuple(ss["key"]), slot=ss["slot"],

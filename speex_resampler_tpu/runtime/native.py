@@ -18,6 +18,8 @@ from pathlib import Path
 
 import numpy as np
 
+from ..utils.errors import ResamplerError, ResamplerErrorCode
+
 __all__ = ["load_runtime", "NativeStager", "PyStager", "make_stager"]
 
 _PKG = Path(__file__).resolve().parent.parent
@@ -133,6 +135,15 @@ def load_runtime():
     return _lib
 
 
+def _invalid(msg: str):
+    """Boundary-guard failure in the package error taxonomy: callers that
+    contain failures by catching ResamplerError (the package-wide
+    input-validation contract) must also catch a mis-shaped push/slab
+    surfacing from a stager.  The descriptive message rides the chained
+    cause so debuggability is not lost."""
+    raise ResamplerError(ResamplerErrorCode.INVALID_ARG) from ValueError(msg)
+
+
 def _ptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.c_void_p)
 
@@ -167,11 +178,11 @@ class NativeStager:
         # calls, and `python -O` strips asserts (an accepted bad shape
         # would be an out-of-bounds memcpy in the C scatter/gather)
         if f.ndim != 2 or f.shape[1] != self.channels:
-            raise ValueError(
+            _invalid(
                 f"frames must be [n, {self.channels}] int16, got {f.shape}")
         rc = self._lib.srt_push(self._h, stream, _ptr(f), f.shape[0])
         if rc != 0:
-            raise ValueError(f"srt_push failed for stream {stream}")
+            _invalid(f"srt_push failed for stream {stream}")
 
     def push_bytes(self, stream: int, data: bytes) -> int:
         """Raw bytes with frame-alignment carry; returns frames accepted."""
@@ -179,21 +190,21 @@ class NativeStager:
         buf = np.ascontiguousarray(buf)
         n = self._lib.srt_push_bytes(self._h, stream, _ptr(buf), len(data))
         if n < 0:
-            raise ValueError(f"srt_push_bytes failed for stream {stream}")
+            _invalid(f"srt_push_bytes failed for stream {stream}")
         return int(n)
 
     def set_active(self, stream: int, active: bool) -> None:
         """Inactive slots are excluded from lockstep readiness and
         zero-filled in launch slabs (dynamic fleet occupancy)."""
         if self._lib.srt_set_active(self._h, stream, int(active)) != 0:
-            raise ValueError(f"bad stream {stream}")
+            _invalid(f"bad stream {stream}")
 
     def set_threads(self, n: int) -> int:
         """Resize the gather/scatter thread pool (default: hardware
         concurrency); returns the effective size."""
         r = int(self._lib.srt_set_threads(self._h, int(n)))
         if r < 0:
-            raise ValueError(f"bad thread count {n}")
+            _invalid(f"bad thread count {n}")
         return r
 
     def staged(self) -> np.ndarray:
@@ -205,7 +216,7 @@ class NativeStager:
         """Staged frames for ONE stream, O(1) (per-push backpressure)."""
         n = int(self._lib.srt_staged_one(self._h, stream))
         if n < 0:
-            raise IndexError(f"bad stream {stream}")
+            _invalid(f"bad stream {stream}")
         return n
 
     def ready_launches(self) -> int:
@@ -220,13 +231,13 @@ class NativeStager:
             if not (out.dtype == np.int16 and out.flags["C_CONTIGUOUS"]
                     and out.ndim == 2 and out.shape[0] >= self.n_in
                     and out.shape[1] == self.B):
-                raise ValueError(
+                _invalid(
                     f"out must be C-contiguous int16 [>= {self.n_in}, "
                     f"{self.B}], got {out.dtype} {out.shape}")
             slab = out
         rc = self._lib.srt_fill_launch(self._h, _ptr(slab))
         if rc != 0:
-            raise ValueError("not enough staged frames for a launch")
+            _invalid("not enough staged frames for a launch")
         return slab
 
     def fill_launch_lm(self, out: np.ndarray) -> np.ndarray:
@@ -239,12 +250,12 @@ class NativeStager:
         if not (out.dtype == np.int16 and out.flags["C_CONTIGUOUS"]
                 and out.ndim == 2 and out.shape[0] == self.B
                 and out.shape[1] >= self.n_in):
-            raise ValueError(
+            _invalid(
                 f"out must be C-contiguous int16 [{self.B}, >= "
                 f"{self.n_in}], got {out.dtype} {out.shape}")
         rc = self._lib.srt_fill_launch_lm(self._h, _ptr(out), out.shape[1])
         if rc != 0:
-            raise ValueError("not enough staged frames for a launch")
+            _invalid("not enough staged frames for a launch")
         return out
 
     def unpack_all_lm(self, y: np.ndarray,
@@ -253,13 +264,13 @@ class NativeStager:
         per-stream zip; pass ``out`` to reuse the destination buffer)."""
         y = np.ascontiguousarray(y, dtype=np.int16)
         if y.ndim != 2 or y.shape[0] != self.B:
-            raise ValueError(f"slab lane axis {y.shape} != B={self.B}")
+            _invalid(f"slab lane axis {y.shape} != B={self.B}")
         n_out = y.shape[1]
         dst = out if out is not None else np.empty(
             (self.n_streams, n_out, self.channels), dtype=np.int16)
         if not (dst.shape == (self.n_streams, n_out, self.channels)
                 and dst.dtype == np.int16 and dst.flags["C_CONTIGUOUS"]):
-            raise ValueError(
+            _invalid(
                 f"out must be C-contiguous int16 [{self.n_streams}, "
                 f"{n_out}, {self.channels}], got {dst.dtype} {dst.shape}")
         self._lib.srt_unpack_all_lm(self._h, _ptr(y), n_out, _ptr(dst))
@@ -279,7 +290,7 @@ class NativeStager:
         n = int(self.staged()[stream])
         dst = np.empty((n, self.channels), dtype=np.int16)
         if self._lib.srt_peek(self._h, stream, _ptr(dst)) != 0:
-            raise IndexError(f"bad stream {stream}")
+            _invalid(f"bad stream {stream}")
         return dst
 
     def carry(self, stream: int) -> bytes:
@@ -295,14 +306,14 @@ class NativeStager:
         math — ``carry()`` materializes the bytes and allocates)."""
         n = int(self._lib.srt_carry_size(self._h, stream))
         if n < 0:
-            raise IndexError(f"bad stream {stream}")
+            _invalid(f"bad stream {stream}")
         return n
 
     def unpack_all(self, y: np.ndarray) -> np.ndarray:
         """y: int16 [n_out, B] -> [S, n_out, C]."""
         y = np.ascontiguousarray(y, dtype=np.int16)
         if y.ndim != 2 or y.shape[1] != self.B:  # C walks y with stride B
-            raise ValueError(f"slab lane axis {y.shape} != B={self.B}")
+            _invalid(f"slab lane axis {y.shape} != B={self.B}")
         n_out = y.shape[0]
         dst = np.empty((self.n_streams, n_out, self.channels), dtype=np.int16)
         self._lib.srt_unpack_all(self._h, _ptr(y), n_out, _ptr(dst))
@@ -311,12 +322,12 @@ class NativeStager:
     def unpack(self, y: np.ndarray, stream: int) -> np.ndarray:
         y = np.ascontiguousarray(y, dtype=np.int16)
         if y.ndim != 2 or y.shape[1] != self.B:
-            raise ValueError(f"slab lane axis {y.shape} != B={self.B}")
+            _invalid(f"slab lane axis {y.shape} != B={self.B}")
         n_out = y.shape[0]
         dst = np.empty((n_out, self.channels), dtype=np.int16)
         if self._lib.srt_unpack(self._h, _ptr(y), n_out, stream,
                                 _ptr(dst)) != 0:
-            raise IndexError(f"bad stream {stream}")
+            _invalid(f"bad stream {stream}")
         return dst
 
 
@@ -336,7 +347,7 @@ class PyStager:
     def push(self, stream: int, frames: np.ndarray) -> None:
         f = np.ascontiguousarray(frames, dtype=np.int16)
         if f.ndim != 2 or f.shape[1] != self.channels:
-            raise ValueError(
+            _invalid(
                 f"frames must be [n, {self.channels}] int16, got {f.shape}")
         self._bufs[stream] = np.concatenate([self._bufs[stream], f])
 
@@ -375,7 +386,7 @@ class PyStager:
 
     def fill_launch(self, out: np.ndarray | None = None) -> np.ndarray:
         if self.ready_launches() < 1:
-            raise ValueError("not enough staged frames for a launch")
+            _invalid("not enough staged frames for a launch")
         slab = out if out is not None else np.zeros(
             (self.n_in, self.B), dtype=np.int16)
         if out is not None:
@@ -390,7 +401,7 @@ class PyStager:
 
     def fill_launch_lm(self, out: np.ndarray) -> np.ndarray:
         if self.ready_launches() < 1:
-            raise ValueError("not enough staged frames for a launch")
+            _invalid("not enough staged frames for a launch")
         c = self.channels
         for s in range(self.n_streams):
             if not self._active[s]:

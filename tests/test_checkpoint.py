@@ -226,7 +226,8 @@ def test_multifleet_checkpoint_roundtrip():
         assert np.array_equal(got[s], want[s]), s
 
 
-def test_cross_kernel_hist_geometry_restore():
+@pytest.mark.parametrize("direction", ["shrink", "grow"])
+def test_cross_kernel_hist_geometry_restore(direction):
     """A checkpoint taken under one kernel family restores into an engine
     that resolved a DIFFERENT family (the docs/serving.md failover path:
     rebuild on a healthy device, which may pick another kernel).  Hist
@@ -236,7 +237,12 @@ def test_cross_kernel_hist_geometry_restore():
     uninterrupted one.  Before the adapter, the mis-shaped hist was
     accepted and the first dispatch failed INSIDE the degradation guard
     -> permanent silent zero output.  FIXED universe: bit-exact across
-    kernel families (float kernels may tie-break ±1 LSB differently)."""
+    kernel families (float kernels may tie-break ±1 LSB differently).
+
+    Both directions: "shrink" (tiled checkpoint -> dense engine, the
+    adapter trims the alignment rows) and "grow" (dense -> tiled, the
+    adapter zero-fills leading alignment rows the tiled kernel must
+    treat as don't-care — the riskier re-layout)."""
     S, C, n = 2, 1, 3200
     rng = np.random.default_rng(11)
     x = (rng.integers(-32768, 32768, size=(S, n, C)) // 2).astype(np.int16)
@@ -249,7 +255,8 @@ def test_cross_kernel_hist_geometry_restore():
         return BatchedResampler(S, C, 44100, 48000, 7, use_pallas=True,
                                 pallas_interpret=True, fixed_point=True)
 
-    a, b = tiled(), dense()
+    a, b = (tiled(), dense()) if direction == "shrink" else \
+        (dense(), tiled())
     assert a._step.hist_rows != b._step.hist_rows, \
         "geometries coincide; test needs distinct hist layouts"
 

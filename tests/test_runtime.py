@@ -326,19 +326,27 @@ def test_fleet_phase_stats_attribution():
 def test_stager_boundary_validation_raises():
     """Shape/contiguity guards in front of the raw ctypes calls must
     RAISE (python -O strips asserts; an accepted bad shape would be an
-    out-of-bounds memcpy in the C gather/scatter)."""
+    out-of-bounds memcpy in the C gather/scatter) — and raise the
+    package's error taxonomy (ResamplerError/INVALID_ARG), so callers
+    containing failures by catching ResamplerError also catch a
+    mis-shaped push surfacing from a stager."""
     from speex_resampler_tpu.runtime.native import NativeStager, PyStager
+    from speex_resampler_tpu.utils.errors import (ResamplerError,
+                                                  ResamplerErrorCode)
     for st in (NativeStager(2, 2, 32), PyStager(2, 2, 32)):
-        with pytest.raises(ValueError):
+        with pytest.raises(ResamplerError) as ei:
             st.push(0, np.zeros(64, dtype=np.int16))       # 1-D
-        with pytest.raises(ValueError):
+        assert ei.value.code == ResamplerErrorCode.INVALID_ARG
+        # the descriptive message rides the chained cause
+        assert "frames must be" in str(ei.value.__cause__)
+        with pytest.raises(ResamplerError):
             st.push(0, np.zeros((4, 3), dtype=np.int16))   # wrong C
     nat = NativeStager(2, 2, 32)
-    with pytest.raises(ValueError):
+    with pytest.raises(ResamplerError):
         nat.fill_launch(out=np.zeros((8, 4), dtype=np.int16))   # short
-    with pytest.raises(ValueError):
+    with pytest.raises(ResamplerError):
         nat.fill_launch_lm(np.zeros((4, 8), dtype=np.float32))  # dtype
-    with pytest.raises(ValueError):
+    with pytest.raises(ResamplerError):
         nat.unpack_all_lm(np.zeros((4, 8), dtype=np.int16),
                           out=np.zeros((2, 8, 1), dtype=np.int16))
 
