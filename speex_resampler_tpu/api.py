@@ -43,20 +43,27 @@ class SpeexResampler:
       exact: float universe, order-faithful host hot loops — output is
         BIT-IDENTICAL to the reference (zero mismatches) instead of the
         device path's <=1 LSB, at single-stream host speed
+      engine: float hot-loop placement — "auto" (default: host loops at
+        <= core.HOST_AUTO_MAX_CHANNELS channels, device above, so
+        interactive per-stream use never loses to the reference C),
+        "host", or "device" (see ResamplerCore.__init__)
     """
 
     def __init__(self, channels: int, in_rate: int, out_rate: int,
                  quality: int = 7, *, fixed_point: bool = False,
-                 exact: bool = False):
+                 exact: bool = False, engine: str = "auto"):
         self.channels = channels
         self.in_rate = in_rate
         self.out_rate = out_rate
         self.quality = quality
         self.fixed_point = fixed_point
         self.exact = exact
+        self.engine = engine
         if fixed_point and exact:
             # the fixed universe is exact everywhere already; fail at
             # construction, not at the first process call
+            raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
+        if engine not in ("auto", "host", "device"):
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
         self._core: ResamplerCore | None = None
         # JS wrapper's retained output buffer: grows to the largest
@@ -86,7 +93,8 @@ class SpeexResampler:
                                        self.out_rate, self.in_rate,
                                        self.out_rate, self.quality,
                                        fixed_point=self.fixed_point,
-                                       exact=self.exact)
+                                       exact=self.exact,
+                                       engine=self.engine)
         return self._core
 
     def process_chunk(self, chunk: bytes | bytearray | memoryview) -> bytes:
@@ -195,10 +203,11 @@ class SpeexResamplerTransform:
 
     def __init__(self, channels: int, in_rate: int, out_rate: int,
                  quality: int = 7, *, fixed_point: bool = False,
-                 exact: bool = False):
+                 exact: bool = False, engine: str = "auto"):
         self.channels = channels
         self.resampler = SpeexResampler(channels, in_rate, out_rate, quality,
-                                        fixed_point=fixed_point, exact=exact)
+                                        fixed_point=fixed_point, exact=exact,
+                                        engine=engine)
         self._alignment_buffer = _EMPTY
 
     def transform(self, chunk: bytes) -> bytes:

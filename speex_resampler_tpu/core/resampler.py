@@ -37,6 +37,16 @@ from ..utils.host import to_host
 
 __all__ = ["ResamplerCore"]
 
+# ``engine="auto"`` crossover: float-universe cores at or below this many
+# channels serve through the native host hot loops (bit-identical to the
+# reference and faster than the reference C single-stream — measured
+# 1.15-2x the -O3 oracle, BENCH ``single_stream``); above it the batched
+# MXU path wins.  Interactive per-stream use (the reference's primary
+# pattern, src/index.ts:50-116) therefore never pays per-launch device
+# dispatch.  Batched serving at scale goes through FleetResampler, which
+# is device-native regardless of this knob.
+HOST_AUTO_MAX_CHANNELS = 8
+
 
 class _WeightCache:
     """Per-instance cache of device-resident padded weight matrices."""
@@ -72,7 +82,8 @@ class ResamplerCore:
                  in_rate: int, out_rate: int, quality: int,
                  fixed_point: bool = False,
                  full_sinc_table: bool = False,
-                 exact: bool = False):
+                 exact: bool = False,
+                 engine: str = "auto"):
         """``fixed_point=True`` selects the reference's OTHER numeric
         universe (-DFIXED_POINT, arch.h:39-67): spx_word16_t = int16, Q15
         integer hot loops, int16 ``mem``.  Outputs are bit-exact vs the
@@ -82,15 +93,37 @@ class ResamplerCore:
         ``exact=True`` (float universe) serves through the order-faithful
         host hot loops (ops/fir_exact.resample_exact_state): outputs are
         BIT-IDENTICAL to the reference float build instead of <=1 LSB —
-        at host speed.  The fixed universe is exact everywhere already, so
-        combining the flags is redundant (and rejected)."""
+        at host speed (native C++ twins, runtime/native.py).  The fixed
+        universe is exact everywhere already, so combining the flags is
+        redundant (and rejected).
+
+        ``engine`` places the FLOAT hot loops: ``"host"`` = the native
+        order-faithful loops (same outputs as ``exact=True``),
+        ``"device"`` = the batched MXU path (<=1 LSB), ``"auto"`` (default)
+        = host at or below HOST_AUTO_MAX_CHANNELS channels, device above —
+        so interactive single-stream use never pays per-chunk device
+        dispatch (it would lose to the reference C there) while wide cores
+        keep MXU throughput.  A placement knob, not a state universe:
+        checkpoints restore across engines (values may differ <=1 LSB
+        after a host<->device move, like any reassociation).  The fixed
+        universe ignores it (core fixed loops are host-native already).
+        ``exact=True`` with ``engine="device"`` is contradictory and
+        rejected."""
         if (nb_channels <= 0 or ratio_num <= 0 or ratio_den <= 0
                 or quality > 10 or quality < 0):
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
+        if engine not in ("auto", "host", "device"):
+            raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
         self.fixed_point = bool(fixed_point)
         self.exact = bool(exact)
-        if self.exact and self.fixed_point:
+        self.engine = engine
+        if self.exact and (self.fixed_point or engine == "device"):
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
+        self._host_route = (not self.fixed_point
+                            and (self.exact or engine == "host"
+                                 or (engine == "auto"
+                                     and nb_channels
+                                     <= HOST_AUTO_MAX_CHANNELS)))
         # RESAMPLE_FULL_SINC_TABLE compile-flag analog (resample.c:641-644)
         self.full_sinc_table = bool(full_sinc_table)
         self._mem_dtype = np.int16 if fixed_point else np.float32
@@ -331,6 +364,7 @@ class ResamplerCore:
             "nb_channels": self.nb_channels,
             "fixed_point": self.fixed_point,
             "exact": self.exact,
+            "engine": self.engine,  # placement knob: NOT a restore gate
             "full_sinc_table": self.full_sinc_table,
             "in_rate": self.in_rate, "out_rate": self.out_rate,
             "num": self.num, "den": self.den, "quality": self.quality,
@@ -613,7 +647,7 @@ class ResamplerCore:
                         # fixed process_float output: int16 -> float store
                         # (resample.c:1019-1022, fixed branch), exact
                         y = y.astype(np.float32)
-                elif self.exact:
+                elif self._host_route:
                     from ..ops.fir_exact import resample_exact_state
                     y = resample_exact_state(X, ls0, f0, n_out, self._spec,
                                              raw=out_float)

@@ -581,3 +581,313 @@ void srt_unpack_all_lm(void* h, const int16_t* y, long n_out,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Single-stream FIR hot loops — the native twins of ops/fir_fixed.py and
+// ops/fir_exact.py, serving ResamplerCore (SpeexResampler, MultiFleet
+// transitions) at reference-C speed on the host.  The reference's own hot
+// loops are resample.c:331-559; these are fresh implementations of the
+// same DOCUMENTED arithmetic contracts (see the two Python modules, which
+// remain the semantics references and differential-test oracles).
+//
+// FIXED universe (Q15): all accumulation is int32 with two's-complement
+// wraparound — wrapping addition is associative and commutative, so ANY
+// vectorization order is bit-identical to the serial C loop.  Compile with
+// -fwrapv so signed overflow is defined wraparound.
+//
+// FLOAT universe: accumulation ORDER is part of the contract (f32 serial /
+// 4-way f64, matching resample.c:331-436 and :438-559).  The loops below
+// preserve those orders exactly; the build must use -ffp-contract=off so
+// mul+add never contracts to FMA (the reference oracle is built without
+// FMA).  Outputs are the raw f32 sums; WORD2INT stays in Python
+// (ops/convert.word2int_np), identical either way.
+
+extern "C" {
+
+static inline int16_t sat32pshr15_i16(int32_t s) {
+  const int32_t hi = 32767 << 15;
+  if (s >= hi) return 32767;
+  if (s <= -hi) return -32767;
+  return static_cast<int16_t>((s + (1 << 14)) >> 15);
+}
+
+// MULT16_32_Q15 (fixed_generic.h:90): a*(b>>15) + ((a*(b&0x7fff))>>15),
+// all int32 with wraparound (-fwrapv).
+static inline int32_t mult16_32_q15_i(int32_t a, int32_t b) {
+  return a * (b >> 15) + ((a * (b & 0x7fff)) >> 15);
+}
+
+// Direct path (resample.c:331-384 FIXED branch): per output, a Q15 dot
+// over filt_len taps; epilogue (int16)SATURATE32PSHR(sum, 15, 32767).
+// x: int16 [B, T]; taps: int16 [n_rows, N]; starts/phases: int64 [n_out]
+// (phase indexes taps rows); out: int16 [B, n_out].
+void srt_fir_q15_direct(const int16_t* x, long B, long T,
+                        const int16_t* taps, long N,
+                        const int64_t* starts, const int64_t* phases,
+                        long n_out, int16_t* out) {
+  for (long b = 0; b < B; ++b) {
+    const int16_t* xb = x + b * T;
+    int16_t* ob = out + b * n_out;
+    for (long k = 0; k < n_out; ++k) {
+      const int16_t* tp = taps + phases[k] * N;
+      const int16_t* xs = xb + starts[k];
+      int32_t acc = 0;
+      for (long j = 0; j < N; ++j)
+        acc += static_cast<int32_t>(tp[j]) * xs[j];
+      ob[k] = sat32pshr15_i16(acc);
+    }
+  }
+}
+
+// Interpolated path (resample.c:438-496 FIXED branch) over PRE-COLLAPSED
+// per-phase tensors (filter_design.fixed_interp_tensors): 4 Q15 tap rows
+// + 4 Q15 cubic coefficients per phase; epilogue resample.c:474-479.
+// taps4: int16 [n_rows, 4, N]; coef4: int16 [n_rows, 4].
+void srt_fir_q15_interp(const int16_t* x, long B, long T,
+                        const int16_t* taps4, const int16_t* coef4, long N,
+                        const int64_t* starts, const int64_t* phases,
+                        long n_out, int16_t* out) {
+  for (long b = 0; b < B; ++b) {
+    const int16_t* xb = x + b * T;
+    int16_t* ob = out + b * n_out;
+    for (long k = 0; k < n_out; ++k) {
+      const int16_t* tp = taps4 + phases[k] * 4 * N;
+      const int16_t* cf = coef4 + phases[k] * 4;
+      const int16_t* xs = xb + starts[k];
+      int32_t sum = 0;
+      for (int c = 0; c < 4; ++c) {
+        const int16_t* t = tp + c * N;
+        int32_t acc = 0;
+        for (long j = 0; j < N; ++j)
+          acc += static_cast<int32_t>(t[j]) * xs[j];
+        sum += mult16_32_q15_i(static_cast<int32_t>(cf[c]), acc >> 1);
+      }
+      ob[k] = sat32pshr15_i16(sum);
+    }
+  }
+}
+
+// Float direct path, BOTH variants (resample.c:331-436 float macros).
+// dbl=0: serial f32 accumulator (resampler_basic_direct_single).
+// dbl=1: four f64 accumulators filled j%4-interleaved with f32 products,
+// combined ((a0+a1)+a2)+a3, narrowed to f32 (quality > 8 variant).
+// x: f32 [B, T]; taps: f32 [n_rows, N]; out: f32 sums [B, n_out].
+static inline double fir_f32_direct_dbl_one(const float* tp,
+                                            const float* xs, long N) {
+  double a0 = 0, a1 = 0, a2 = 0, a3 = 0;
+  long j = 0;
+  for (; j + 3 < N; j += 4) {
+    a0 += static_cast<double>(tp[j] * xs[j]);
+    a1 += static_cast<double>(tp[j + 1] * xs[j + 1]);
+    a2 += static_cast<double>(tp[j + 2] * xs[j + 2]);
+    a3 += static_cast<double>(tp[j + 3] * xs[j + 3]);
+  }
+  for (; j < N; ++j) {  // filt_len is always a multiple of 4 in practice
+    // (x8 rounding, resample.c:625), but stay total
+    if (j % 4 == 0) a0 += static_cast<double>(tp[j] * xs[j]);
+    else if (j % 4 == 1) a1 += static_cast<double>(tp[j] * xs[j]);
+    else if (j % 4 == 2) a2 += static_cast<double>(tp[j] * xs[j]);
+    else a3 += static_cast<double>(tp[j] * xs[j]);
+  }
+  return ((a0 + a1) + a2) + a3;
+}
+
+// Phase-grouped direct single variant: outputs k ≡ g (mod den) share the
+// tap row phases[g] and their windows slide by exactly num samples
+// (phases[k] = (f0+k*num) mod den; starts[k+den] = starts[k]+num), so a
+// group is a plain correlation.  Vectorizing across OUTPUTS (16 lanes)
+// keeps each output's own serial f32 j-order — the bit-exactness
+// contract — while the adds become one packed op per tap instead of a
+// latency-bound scalar chain.  This is the host mirror of the batched
+// device formulation (ops/fir_matmul: phase-grouped strided matmul).
+static void fir_f32_direct_grouped(const float* xb, float* ob,
+                                   const float* taps, long N,
+                                   const int64_t* starts,
+                                   const int64_t* phases, long n_out,
+                                   long num, long den) {
+  constexpr int L = 16;
+  for (long g = 0; g < den; ++g) {
+    if (g >= n_out) break;
+    const float* tp = taps + phases[g] * N;
+    const float* xg = xb + starts[g];
+    const long m = (n_out - g + den - 1) / den;
+    long i = 0;
+    for (; i + L <= m; i += L) {
+      float acc[L] = {0};
+      const float* xr0 = xg + i * num;
+      for (long j = 0; j < N; ++j) {
+        const float t = tp[j];
+        const float* xr = xr0 + j;
+        for (int l = 0; l < L; ++l) acc[l] += t * xr[l * num];
+      }
+      for (int l = 0; l < L; ++l) ob[g + (i + l) * den] = acc[l];
+    }
+    for (; i < m; ++i) {  // tail, same serial order
+      const float* xs = xg + i * num;
+      float s = 0.0f;
+      for (long j = 0; j < N; ++j) s += tp[j] * xs[j];
+      ob[g + i * den] = s;
+    }
+  }
+}
+
+// num/den: the canonical phase recurrence of starts/phases when > 0
+// (enables the grouped path); pass 0 when the arrays are not known to
+// follow it (e.g. identity phases over gathered rows).
+void srt_fir_f32_direct(const float* x, long B, long T,
+                        const float* taps, long N,
+                        const int64_t* starts, const int64_t* phases,
+                        long n_out, int dbl, long num, long den,
+                        float* out) {
+  for (long b = 0; b < B; ++b) {
+    const float* xb = x + b * T;
+    float* ob = out + b * n_out;
+    if (dbl) {
+      // already 4 chains of ILP per output (the j%4-interleaved f64
+      // accumulators) — no cross-output interleave needed
+      for (long k = 0; k < n_out; ++k)
+        ob[k] = static_cast<float>(fir_f32_direct_dbl_one(
+            taps + phases[k] * N, xb + starts[k], N));
+      continue;
+    }
+    if (num > 0 && den > 0 && n_out >= 2 * den) {
+      fir_f32_direct_grouped(xb, ob, taps, N, starts, phases, n_out,
+                             num, den);
+      continue;
+    }
+    // Single variant, 4 outputs at a time: each output keeps its OWN
+    // serial f32 add order (the bit-exactness contract) — the four
+    // chains are independent, so they interleave for ~4x ILP on the
+    // latency-bound serial adds.
+    long k = 0;
+    for (; k + 3 < n_out; k += 4) {
+      const float* t0 = taps + phases[k] * N;
+      const float* t1 = taps + phases[k + 1] * N;
+      const float* t2 = taps + phases[k + 2] * N;
+      const float* t3 = taps + phases[k + 3] * N;
+      const float* x0 = xb + starts[k];
+      const float* x1 = xb + starts[k + 1];
+      const float* x2 = xb + starts[k + 2];
+      const float* x3 = xb + starts[k + 3];
+      float s0 = 0.0f, s1 = 0.0f, s2 = 0.0f, s3 = 0.0f;
+      for (long j = 0; j < N; ++j) {
+        s0 += t0[j] * x0[j];
+        s1 += t1[j] * x1[j];
+        s2 += t2[j] * x2[j];
+        s3 += t3[j] * x3[j];
+      }
+      ob[k] = s0;
+      ob[k + 1] = s1;
+      ob[k + 2] = s2;
+      ob[k + 3] = s3;
+    }
+    for (; k < n_out; ++k) {  // tail, same serial order
+      const float* tp = taps + phases[k] * N;
+      const float* xs = xb + starts[k];
+      float s = 0.0f;
+      for (long j = 0; j < N; ++j) s += tp[j] * xs[j];
+      ob[k] = s;
+    }
+  }
+}
+
+// Float cubic_coef (resample.c:318-329): f32 expressions left-to-right;
+// interp[2] = 1.0(double) - others, narrowed to f32 at the store.
+static inline void cubic_coef_f32(float frac, float* interp) {
+  interp[0] = -0.16667f * frac + 0.16667f * frac * frac * frac;
+  interp[1] = frac + 0.5f * frac * frac - 0.5f * frac * frac * frac;
+  interp[3] = -0.33333f * frac + 0.5f * frac * frac
+              - 0.16667f * frac * frac * frac;
+  interp[2] = static_cast<float>(1. - interp[0] - interp[1] - interp[3]);
+}
+
+// Float interpolated path, BOTH variants (resample.c:438-559 float
+// macros): per output, offset/frac from the uint32-wrapped phase*ov,
+// four accumulators over f32 products (f32 accs when dbl=0, f64 when
+// dbl=1), mixed ((i0*a0 + i1*a1) + i2*a2) + i3*a3 in the accumulator
+// dtype, narrowed to f32.  sinc: the raw interp-layout table
+// (oversample*filt_len + 8 entries, offset 4 — resample.c:689-691).
+void srt_fir_f32_interp(const float* x, long B, long T,
+                        const float* sinc, long ov, long den, long N,
+                        const int64_t* starts, const int64_t* phases,
+                        long n_out, int dbl, float* out) {
+  for (long b = 0; b < B; ++b) {
+    const float* xb = x + b * T;
+    float* ob = out + b * n_out;
+    for (long k = 0; k < n_out; ++k) {
+      const uint32_t prod = static_cast<uint32_t>(
+          static_cast<uint64_t>(phases[k]) * static_cast<uint64_t>(ov));
+      const long offset = static_cast<long>(prod / den);
+      const float frac = static_cast<float>(prod % den)
+                         / static_cast<float>(den);
+      float interp[4];
+      cubic_coef_f32(frac, interp);
+      const float* tb = sinc + 2 + ov - offset;  // base(j,c) = tb[j*ov+c]
+      const float* xs = xb + starts[k];
+      if (dbl) {
+        double a0 = 0, a1 = 0, a2 = 0, a3 = 0;
+        for (long j = 0; j < N; ++j) {
+          const float cj = xs[j];
+          const float* t = tb + j * ov;
+          a0 += static_cast<double>(cj * t[0]);
+          a1 += static_cast<double>(cj * t[1]);
+          a2 += static_cast<double>(cj * t[2]);
+          a3 += static_cast<double>(cj * t[3]);
+        }
+        ob[k] = static_cast<float>(
+            ((static_cast<double>(interp[0]) * a0
+              + static_cast<double>(interp[1]) * a1)
+             + static_cast<double>(interp[2]) * a2)
+            + static_cast<double>(interp[3]) * a3);
+      } else if (k + 1 < n_out) {
+        // pair two outputs: each keeps its own four serial f32 chains
+        // (the contract), eight independent chains total for ILP
+        const uint32_t prod2 = static_cast<uint32_t>(
+            static_cast<uint64_t>(phases[k + 1])
+            * static_cast<uint64_t>(ov));
+        const long offset2 = static_cast<long>(prod2 / den);
+        const float frac2 = static_cast<float>(prod2 % den)
+                            / static_cast<float>(den);
+        float interp2[4];
+        cubic_coef_f32(frac2, interp2);
+        const float* ub = sinc + 2 + ov - offset2;
+        const float* ys = xb + starts[k + 1];
+        float a0 = 0, a1 = 0, a2 = 0, a3 = 0;
+        float c0 = 0, c1 = 0, c2 = 0, c3 = 0;
+        for (long j = 0; j < N; ++j) {
+          const float cj = xs[j];
+          const float dj = ys[j];
+          const float* t = tb + j * ov;
+          const float* u = ub + j * ov;
+          a0 += cj * t[0];
+          a1 += cj * t[1];
+          a2 += cj * t[2];
+          a3 += cj * t[3];
+          c0 += dj * u[0];
+          c1 += dj * u[1];
+          c2 += dj * u[2];
+          c3 += dj * u[3];
+        }
+        ob[k] = ((interp[0] * a0 + interp[1] * a1) + interp[2] * a2)
+                + interp[3] * a3;
+        ob[k + 1] = ((interp2[0] * c0 + interp2[1] * c1)
+                     + interp2[2] * c2) + interp2[3] * c3;
+        ++k;  // consumed two outputs
+      } else {
+        float a0 = 0, a1 = 0, a2 = 0, a3 = 0;
+        for (long j = 0; j < N; ++j) {
+          const float cj = xs[j];
+          const float* t = tb + j * ov;
+          a0 += cj * t[0];
+          a1 += cj * t[1];
+          a2 += cj * t[2];
+          a3 += cj * t[3];
+        }
+        ob[k] = ((interp[0] * a0 + interp[1] * a1) + interp[2] * a2)
+                + interp[3] * a3;
+      }
+    }
+  }
+}
+
+}  // extern "C"

@@ -9,8 +9,9 @@ float filter memory (resample.c:1000-1006) and converted back with WORD2INT
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-__all__ = ["s16_to_internal", "word2int"]
+__all__ = ["s16_to_internal", "word2int", "word2int_np"]
 
 
 def s16_to_internal(x, dtype=jnp.float32):
@@ -31,3 +32,17 @@ def word2int(x):
     y = jnp.where(x < x.dtype.type(-32767.5), x.dtype.type(-32768.0), y)
     y = jnp.where(x > x.dtype.type(32766.5), x.dtype.type(32767.0), y)
     return y.astype(jnp.int16)
+
+
+def word2int_np(x: np.ndarray) -> np.ndarray:
+    """NumPy twin of ``word2int`` for the HOST hot loops (ops/fir_exact):
+    the jnp version dispatches to the default device, which on a
+    remote-tunnel backend turns every host-path chunk into a device
+    round-trip (measured 40 ms/call vs 0.08 ms host-only at the
+    single-stream flagship).  Semantics identical: floor(0.5+x) in x's
+    dtype with the -32767.5/32766.5 clamp thresholds (arch.h:208-209)."""
+    x = np.asarray(x)
+    y = np.floor(x.dtype.type(0.5) + x)
+    y = np.where(x < x.dtype.type(-32767.5), x.dtype.type(-32768.0), y)
+    y = np.where(x > x.dtype.type(32766.5), x.dtype.type(32767.0), y)
+    return y.astype(np.int16)

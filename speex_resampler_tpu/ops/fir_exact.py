@@ -36,7 +36,7 @@ from __future__ import annotations
 import numpy as np
 
 from . import filter_design as fd
-from .convert import word2int
+from .convert import word2int_np as word2int
 
 __all__ = ["resample_direct_exact", "resample_exact",
            "resample_exact_state"]
@@ -126,6 +126,38 @@ def _interp_slice(X, starts, phases, spec, *, double: bool,
     return s if raw else word2int(s)
 
 
+def _native_exact(X: np.ndarray, starts: np.ndarray, phases: np.ndarray,
+                  spec, double: bool) -> np.ndarray | None:
+    """Native (C++) twin of the slice loops below — same accumulation
+    orders compiled -ffp-contract=off, so the output is bit-identical;
+    returns None when the native runtime is unavailable (callers fall
+    back to the NumPy loops, which remain the semantics reference)."""
+    from ..runtime import native as rt
+    if rt.load_runtime() is None:
+        return None
+    if spec.use_direct:
+        if spec._materialize_tables():
+            # canonical recurrence holds -> phase-grouped vector path
+            return rt.fir_f32_direct(X, np.asarray(spec.phase_table,
+                                                   np.float32),
+                                     starts, phases, double,
+                                     num=spec.num, den=spec.den)
+        # huge-den lazy spec: gather just the rows in flight
+        taps = spec.phase_rows(phases)
+        ph = np.arange(len(phases), dtype=np.int64)
+        return rt.fir_f32_direct(X, np.asarray(taps, np.float32),
+                                 starts, ph, double)
+    ov, den = spec.oversample, spec.den
+    offset = ((phases * ov) & 0xFFFFFFFF) // den
+    if len(offset) and int(offset.max()) > ov + 2:
+        # uint32 wrap regime (den >= 65537) can push tap indices outside
+        # the table; the NumPy path defines that gather, stay on it
+        return None
+    return rt.fir_f32_interp(X, np.asarray(spec.sinc_table, np.float32),
+                             ov, den, spec.filt_len, starts, phases,
+                             double)
+
+
 def resample_exact_state(X: np.ndarray, ls0: int, f0: int, n_out: int,
                          spec, *, raw: bool = False) -> np.ndarray:
     """X: f32 [B, T] (history ++ fresh samples, reference ``mem`` layout);
@@ -138,6 +170,11 @@ def resample_exact_state(X: np.ndarray, ls0: int, f0: int, n_out: int,
         return np.zeros((B, 0), dtype=np.float32 if raw else np.int16)
     X = np.asarray(X, dtype=np.float32)
     double = spec.quality > 8
+    t_all = f0 + np.arange(n_out, dtype=np.int64) * spec.num
+    y = _native_exact(X, ls0 + t_all // spec.den,
+                      (t_all % spec.den).astype(np.int64), spec, double)
+    if y is not None:
+        return y if raw else word2int(y)
     outs = []
     for lo in range(0, n_out, _SLICE):
         hi = min(lo + _SLICE, n_out)

@@ -52,6 +52,30 @@ def fixed_output_slice(X: np.ndarray, starts: np.ndarray,
     return interp_mix_fixed(accum, coef[None])                     # [B, m]
 
 
+def _native_fixed(X: np.ndarray, ls0: int, f0: int, n_out: int,
+                  spec: fd.FilterSpec) -> np.ndarray | None:
+    """Native (C++) twin of the NumPy slices below.  The Q15 accumulator
+    is int32 with wraparound — order-free — so the vectorized native loop
+    is bit-identical BY CONSTRUCTION (and differentially tested).  None
+    when the native runtime is unavailable."""
+    from ..runtime import native as rt
+    if rt.load_runtime() is None:
+        return None
+    k = np.arange(n_out, dtype=np.int64)
+    t = f0 + k * spec.num
+    starts = ls0 + t // spec.den
+    phases = t % spec.den
+    if spec.use_direct:
+        if spec._materialize_tables():
+            return rt.fir_q15_direct(X, spec.phase_table, starts, phases)
+        return rt.fir_q15_direct(X, spec.phase_rows(phases), starts, k)
+    if spec._materialize_tables():
+        return rt.fir_q15_interp(X, spec.interp_taps, spec.interp_coef,
+                                 starts, phases)
+    taps, coef = spec.interp_rows(phases)
+    return rt.fir_q15_interp(X, taps, coef, starts, k)
+
+
 def resample_fixed(X: np.ndarray, ls0: int, f0: int, n_out: int,
                    spec: fd.FilterSpec) -> np.ndarray:
     """X: int16 [B, T] (history ++ fresh samples); emits ``n_out`` outputs
@@ -61,6 +85,9 @@ def resample_fixed(X: np.ndarray, ls0: int, f0: int, n_out: int,
     if n_out <= 0:
         return np.zeros((B, 0), dtype=np.int16)
     num, den = spec.num, spec.den
+    y = _native_fixed(X, ls0, f0, n_out, spec)
+    if y is not None:
+        return y
     outs = []
     for lo in range(0, n_out, _SLICE):
         hi = min(lo + _SLICE, n_out)

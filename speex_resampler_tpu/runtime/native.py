@@ -82,7 +82,14 @@ def load_runtime():
             # on the host that runs it; measured +35% on the scatter
             # transpose) but some toolchains reject it — retry plain.
             tmp = _LIB.with_suffix(f".so.{os.getpid()}.tmp")
+            # -fwrapv: the Q15 hot loops accumulate in int32 with
+            # two's-complement wraparound (the reference semantics) —
+            # make signed overflow defined instead of UB.
+            # -ffp-contract=off: the float hot loops' accumulation order
+            # is a bit-exactness contract; FMA contraction would change
+            # rounding (the reference oracle is built without FMA).
             base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                    "-fwrapv", "-ffp-contract=off",
                     "-pthread", "-o", str(tmp), str(_SRC)]
             try:
                 subprocess.run(base[:2] + ["-march=native"] + base[2:],
@@ -131,8 +138,115 @@ def load_runtime():
     lib.srt_fill_launch_lm.argtypes = [c.c_void_p, c.c_void_p, c.c_long]
     lib.srt_unpack_all_lm.argtypes = [c.c_void_p, c.c_void_p, c.c_long,
                                       c.c_void_p]
+    lib.srt_fir_q15_direct.argtypes = [
+        c.c_void_p, c.c_long, c.c_long, c.c_void_p, c.c_long,
+        c.c_void_p, c.c_void_p, c.c_long, c.c_void_p]
+    lib.srt_fir_q15_interp.argtypes = [
+        c.c_void_p, c.c_long, c.c_long, c.c_void_p, c.c_void_p, c.c_long,
+        c.c_void_p, c.c_void_p, c.c_long, c.c_void_p]
+    lib.srt_fir_f32_direct.argtypes = [
+        c.c_void_p, c.c_long, c.c_long, c.c_void_p, c.c_long,
+        c.c_void_p, c.c_void_p, c.c_long, c.c_int, c.c_long, c.c_long,
+        c.c_void_p]
+    lib.srt_fir_f32_interp.argtypes = [
+        c.c_void_p, c.c_long, c.c_long, c.c_void_p, c.c_long, c.c_long,
+        c.c_long, c.c_void_p, c.c_void_p, c.c_long, c.c_int, c.c_void_p]
     _lib = lib
     return _lib
+
+
+# ---------------------------------------------------------------------------
+# Single-stream FIR hot loops (native twins of ops/fir_fixed.py /
+# ops/fir_exact.py — those modules remain the semantics references and
+# call these when the library is available).  All return None if the
+# native runtime could not be built, so callers can fall back to NumPy.
+# ---------------------------------------------------------------------------
+
+
+def _c16(a) -> np.ndarray:
+    return np.ascontiguousarray(a, dtype=np.int16)
+
+
+def _c64(a) -> np.ndarray:
+    return np.ascontiguousarray(a, dtype=np.int64)
+
+
+def fir_q15_direct(x: np.ndarray, taps: np.ndarray, starts: np.ndarray,
+                   phases: np.ndarray) -> np.ndarray | None:
+    """x int16 [B, T]; taps int16 [rows, N]; -> int16 [B, m] or None."""
+    lib = load_runtime()
+    if lib is None:
+        return None
+    x, taps = _c16(x), _c16(taps)
+    starts, phases = _c64(starts), _c64(phases)
+    B, T = x.shape
+    m = starts.shape[0]
+    out = np.empty((B, m), dtype=np.int16)
+    lib.srt_fir_q15_direct(_ptr(x), B, T, _ptr(taps), taps.shape[1],
+                           _ptr(starts), _ptr(phases), m, _ptr(out))
+    return out
+
+
+def fir_q15_interp(x: np.ndarray, taps4: np.ndarray, coef4: np.ndarray,
+                   starts: np.ndarray, phases: np.ndarray
+                   ) -> np.ndarray | None:
+    """x int16 [B, T]; taps4 int16 [rows, 4, N]; coef4 int16 [rows, 4]."""
+    lib = load_runtime()
+    if lib is None:
+        return None
+    x, taps4, coef4 = _c16(x), _c16(taps4), _c16(coef4)
+    starts, phases = _c64(starts), _c64(phases)
+    B, T = x.shape
+    m = starts.shape[0]
+    out = np.empty((B, m), dtype=np.int16)
+    lib.srt_fir_q15_interp(_ptr(x), B, T, _ptr(taps4), _ptr(coef4),
+                           taps4.shape[2], _ptr(starts), _ptr(phases), m,
+                           _ptr(out))
+    return out
+
+
+def fir_f32_direct(x: np.ndarray, taps: np.ndarray, starts: np.ndarray,
+                   phases: np.ndarray, double: bool, *, num: int = 0,
+                   den: int = 0) -> np.ndarray | None:
+    """x f32 [B, T]; taps f32 [rows, N]; -> raw f32 sums [B, m] or None.
+    Pass num/den when starts/phases follow the canonical recurrence
+    (phases[k] = (f0+k*num) mod den) to enable the phase-grouped
+    output-vectorized path (bit-identical; each output keeps its serial
+    j-order)."""
+    lib = load_runtime()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    taps = np.ascontiguousarray(taps, dtype=np.float32)
+    starts, phases = _c64(starts), _c64(phases)
+    B, T = x.shape
+    m = starts.shape[0]
+    out = np.empty((B, m), dtype=np.float32)
+    lib.srt_fir_f32_direct(_ptr(x), B, T, _ptr(taps), taps.shape[1],
+                           _ptr(starts), _ptr(phases), m, int(double),
+                           int(num), int(den), _ptr(out))
+    return out
+
+
+def fir_f32_interp(x: np.ndarray, sinc: np.ndarray, ov: int, den: int,
+                   N: int, starts: np.ndarray, phases: np.ndarray,
+                   double: bool) -> np.ndarray | None:
+    """x f32 [B, T]; sinc = raw interp-layout table (ov*N+8 entries,
+    offset 4); -> raw f32 sums [B, m] or None.  The caller must ensure
+    every tap index is in-bounds (offset <= ov + 2; see fir_exact)."""
+    lib = load_runtime()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    sinc = np.ascontiguousarray(sinc, dtype=np.float32)
+    starts, phases = _c64(starts), _c64(phases)
+    B, T = x.shape
+    m = starts.shape[0]
+    out = np.empty((B, m), dtype=np.float32)
+    lib.srt_fir_f32_interp(_ptr(x), B, T, _ptr(sinc), ov, den, N,
+                           _ptr(starts), _ptr(phases), m, int(double),
+                           _ptr(out))
+    return out
 
 
 def _invalid(msg: str):

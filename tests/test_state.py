@@ -116,10 +116,12 @@ def test_zero_fill_degradation(monkeypatch):
 
     x = (np.arange(4000, dtype=np.int64) % 251 - 125).astype(
         np.int16).reshape(-1, 1)
-    ok = ResamplerCore(1, 44100, 48000, 44100, 48000, 7)
+    # engine="device": the auto default routes 1-channel cores to the host
+    # loops, where the simulated device OOM below could never fire
+    ok = ResamplerCore(1, 44100, 48000, 44100, 48000, 7, engine="device")
     expected = ok.process_interleaved(x, 10**9)
 
-    bad = ResamplerCore(1, 44100, 48000, 44100, 48000, 7)
+    bad = ResamplerCore(1, 44100, 48000, 44100, 48000, 7, engine="device")
 
     def boom(*a, **k):
         raise RuntimeError("RESOURCE_EXHAUSTED: simulated OOM")
