@@ -97,15 +97,93 @@ _EMIT_FIRED = False
 _PARTIAL: dict = {}
 
 
+def _compact_summary(payload: dict) -> dict:
+    """The driver records only the LAST ~2000 chars of stdout, and the full
+    artifact outgrew that in round 3 (BENCH_r03/r04 ``parsed: null`` — the
+    canonical record lost its headline for two rounds).  Emit a <=1500-char
+    summary carrying every headline number; the full blob goes to
+    BENCH_FULL_LOCAL.json (committed alongside as BENCH_LOCAL_r{N})."""
+    ex = payload.get("extra", {})
+
+    def _row(d, *keys):
+        if not isinstance(d, dict):
+            return d
+        out = {}
+        for k in keys:
+            if d.get(k) is not None:
+                out[k] = d[k]
+        return out or (d.get("skipped") and {"skipped": d["skipped"]}) \
+            or (d.get("error") and {"error": str(d["error"])[:120]}) or {}
+
+    sweep = {cfg: _row(m, "out_samples_per_sec_quiet",
+                       "roofline_frac_quiet")
+             for cfg, m in (ex.get("sweep") or {}).items()}
+    fixed = {cfg: _row(m, "out_samples_per_sec_quiet",
+                       "roofline_frac_quiet")
+             for cfg, m in (ex.get("fixed_point_universe") or {}).items()}
+    sm = ex.get("on_chip_shardmap")
+    compact = {
+        "metric": payload.get("metric"),
+        "value": payload.get("value"),
+        "unit": payload.get("unit"),
+        "vs_baseline": payload.get("vs_baseline"),
+        "extra": {
+            "backend": ex.get("backend"),
+            "kernel": ex.get("kernel"), "scheme": ex.get("scheme"),
+            "launch_ms_quiet": ex.get("launch_ms_quiet"),
+            "roofline_frac_quiet": ex.get("roofline_frac_quiet"),
+            "out_sps_quiet": ex.get("out_samples_per_sec_quiet"),
+            "out_sps_best": ex.get("out_samples_per_sec_best"),
+            "vs_reference_cpu": ex.get("vs_reference_cpu"),
+            "single_stream": _row(ex.get("single_stream"),
+                                  "out_samples_per_sec",
+                                  "vs_reference_cpu",
+                                  "fixed_out_samples_per_sec",
+                                  "fixed_vs_reference_cpu"),
+            "sweep_quiet": sweep,
+            "fixed_quiet": fixed,
+            "hard_latency": _row(ex.get("hard_latency"),
+                                 "out_samples_per_sec_quiet",
+                                 "roofline_frac_quiet"),
+            "fleet_e2e": _row(ex.get("fleet_e2e"),
+                              "out_samples_per_sec", "accounted_frac",
+                              "colocated_proxy_out_samples_per_sec"),
+            "multifleet": _row(ex.get("multifleet"),
+                               "out_samples_per_sec", "accounted_frac"),
+            "shardmap_all_equal": (sm.get("all_equal")
+                                   if isinstance(sm, dict) else None),
+            "watchdog": ex.get("watchdog"), "error": ex.get("error"),
+            "full_artifact": "BENCH_FULL_LOCAL.json",
+        },
+    }
+    compact["extra"] = {k: v for k, v in compact["extra"].items()
+                        if v is not None}
+    return compact
+
+
 def _emit(payload: dict) -> None:
-    """Print exactly ONE stdout JSON line process-wide (driver contract),
-    whichever of main/watchdog gets here first."""
+    """Write the full artifact to BENCH_FULL_LOCAL.json and print exactly
+    ONE compact stdout JSON line process-wide (driver contract), whichever
+    of main/watchdog gets here first."""
     global _EMIT_FIRED
     with _EMIT_LOCK:
         if _EMIT_FIRED:
             return
         _EMIT_FIRED = True
-        print(json.dumps(payload), flush=True)
+        try:
+            (REPO / "BENCH_FULL_LOCAL.json").write_text(
+                json.dumps(payload, indent=1))
+        except Exception as e:
+            _note(f"full-artifact write failed: {e!r}")
+        line = json.dumps(_compact_summary(payload))
+        if len(line) > 1900:  # hard driver-tail guard: drop sweeps first
+            for victim in ("sweep_quiet", "fixed_quiet"):
+                cut = json.loads(line)
+                cut["extra"].pop(victim, None)
+                line = json.dumps(cut)
+                if len(line) <= 1900:
+                    break
+        print(line, flush=True)
 
 
 def _hard_watchdog() -> None:
@@ -403,6 +481,73 @@ def stager_bench():
         return {"error": repr(e)}
 
 
+def single_stream_bench(seconds=0.8):
+    """The reference's PRIMARY use case: ONE resampler per audio stream
+    (Readme.md:20-21, src/index.ts:50-116), interactive chunks through
+    SpeexResampler.process_chunk on the DEFAULT path (engine="auto" routes
+    <=8-channel float cores to the native host hot loops — bit-identical to
+    the reference; the fixed universe is host-native always).  Measured
+    against the -O3 compiled reference C on the same host so the one place
+    the framework could LOSE to the reference on its home turf is a
+    recorded number, not a story."""
+    from speex_resampler_tpu.api import SpeexResampler
+
+    def _one(channels, in_rate, out_rate, q, fixed):
+        r = SpeexResampler(channels, in_rate, out_rate, q,
+                           fixed_point=fixed)
+        rng = np.random.default_rng(0)
+        frames = 1024
+        chunk = rng.integers(-32768, 32768, (frames * channels,)) \
+            .astype(np.int16).tobytes()
+        for _ in range(8):
+            r.process_chunk(chunk)
+        best = 0.0
+        for _ in range(3):
+            n_out = 0
+            t0 = time.perf_counter()
+            while (dt := time.perf_counter() - t0) < seconds / 3:
+                n_out += len(r.process_chunk(chunk)) // 2
+            best = max(best, n_out / dt)
+        return round(best)
+
+    out = {"chunk_frames": 1024, "config": "44100->48000 q5"}
+    try:
+        ours = _one(1, 44100, 48000, 5, False)
+        ref = oracle_cpu_baseline(44100, 48000, 5, seconds=1.0)
+        out["out_samples_per_sec"] = ours
+        out["reference_cpu_out_samples_per_sec"] = ref.get(
+            "out_samples_per_sec")
+        if ref.get("out_samples_per_sec"):
+            out["vs_reference_cpu"] = round(
+                ours / ref["out_samples_per_sec"], 2)
+        ours2 = _one(2, 44100, 48000, 5, False)
+        out["stereo_out_samples_per_sec"] = ours2
+        # oracle_bench's channel arg: rerun at 2ch for an apples match
+        try:
+            exe = REPO / "build" / "oracle_bench"
+            r2 = json.loads(subprocess.run(
+                [str(exe), "bench", "2", "44100", "48000", "5", "1.0"],
+                capture_output=True, check=True, timeout=120).stdout)
+            out["stereo_reference_cpu_out_samples_per_sec"] = r2[
+                "out_samples_per_sec"]
+            out["stereo_vs_reference_cpu"] = round(
+                ours2 / r2["out_samples_per_sec"], 2)
+        except Exception:
+            pass
+        oursf = _one(1, 44100, 48000, 5, True)
+        reff = oracle_cpu_baseline(44100, 48000, 5, seconds=1.0,
+                                   fixed_point=True)
+        out["fixed_out_samples_per_sec"] = oursf
+        out["fixed_reference_cpu_out_samples_per_sec"] = reff.get(
+            "out_samples_per_sec")
+        if reff.get("out_samples_per_sec"):
+            out["fixed_vs_reference_cpu"] = round(
+                oursf / reff["out_samples_per_sec"], 2)
+    except Exception as e:
+        out["error"] = repr(e)
+    return out
+
+
 def fleet_e2e(fixed_point=False, n_streams=256, kernel_quiet_ms=None):
     """End-to-end through FleetResampler (ragged staging + native gather/
     scatter + device launches + readback), samples/s, WITH the per-phase
@@ -470,6 +615,46 @@ def fleet_e2e(fixed_point=False, n_streams=256, kernel_quiet_ms=None):
             out["predicted_colocated_out_samples_per_sec"] = round(
                 fleet.bspec.out_per_launch * S * C / (pred_ms * 1e-3))
             out["predicted_colocated_ms_per_launch"] = round(pred_ms, 4)
+
+        # MEASURED tunnel-free pipeline (round-4 review #5): the same REAL
+        # poll loop (real stager gather, real dispatch, real jitted step)
+        # with a DEVICE-RESIDENT consumer fused into the step — readback
+        # transfers one int32 checksum per launch instead of the 10 MB
+        # output slab, so the measurement no longer depends on this
+        # harness's network tunnel.  This is a real serving topology
+        # (resampler feeding an on-chip downstream), not a trick geometry.
+        if not fixed_point:
+            try:
+                fl2 = FleetResampler(
+                    S, C, *FLAGSHIP[:2], FLAGSHIP[2],
+                    target_chunk_frames=TARGET_IN_FRAMES,
+                    fixed_point=fixed_point,
+                    device_consumer=lambda y: jnp.sum(
+                        y.astype(jnp.int32)))
+                for s in range(S):
+                    fl2.push(s, frames[s])
+                fl2.poll()  # warmup/compile the fused step
+                fl2.stats = type(fl2.stats)()
+                fl2.consumed.clear()
+                best = None
+                rounds = 6
+                for _ in range(rounds):
+                    for s in range(S):
+                        fl2.push(s, frames[s])
+                    t0 = time.perf_counter()
+                    n = fl2.poll()
+                    dtp = time.perf_counter() - t0
+                    if n and (best is None or dtp / n < best):
+                        best = dtp / n
+                if best:
+                    out["colocated_proxy_out_samples_per_sec"] = round(
+                        fl2.bspec.out_per_launch * S * C / best)
+                    out["colocated_proxy_ms_per_launch"] = round(
+                        best * 1e3, 3)
+                    out["colocated_proxy_rounds"] = rounds
+                    out["colocated_proxy_checksums"] = len(fl2.consumed)
+            except Exception as e:
+                out["colocated_proxy_error"] = repr(e)
         return out
     except Exception as e:
         return {"error": repr(e)}
@@ -516,23 +701,52 @@ def multifleet_e2e(n_streams=1024, n_buckets=4, target_frames=2048):
         mf.set_stream_rate(sids[1][0], *configs[1][:2],
                            configs[1][2])
         sids[1] = (sids[1][0], configs[1])
-        # steady-state only: the warmup poll and the dynamics above paid
+        # steady-state only: the warmup polls and the dynamics above paid
         # every bucket's compile cost; without this reset the per-bucket
-        # dispatch phase reads ~1.3 s/launch of amortized XLA compile
-        mf.reset_stats()
-        produced = 0
-        iters = 2
-        t0 = time.perf_counter()
-        for _ in range(iters):
+        # dispatch phase reads ~1.3 s/launch of amortized XLA compile.
+        # Two more full warmup rounds so every bucket's steady launch path
+        # (including the post-switch geometry) is hot before timing.
+        for _ in range(2):
             for sid, cfg in sids:
                 mf.push(sid, chunks[cfg])
             mf.poll()
             for sid, _ in sids:
+                mf.pull(sid)
+        mf.reset_stats()
+        # the serving-tier discipline the kernel tier already has
+        # (round-4 review #3/#7): >=10 timed rounds, per-round wall
+        # recorded, host push/pull loops attributed as named phases so
+        # accounted_frac covers the WHOLE loop, not just fleet internals
+        produced = 0
+        iters = 10
+        push_s = pull_s = poll_s = 0.0
+        iter_ms = []
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            ti = time.perf_counter()
+            for sid, cfg in sids:
+                mf.push(sid, chunks[cfg])
+            tp = time.perf_counter()
+            push_s += tp - ti
+            mf.poll()
+            tq = time.perf_counter()
+            poll_s += tq - tp
+            for sid, _ in sids:
                 produced += mf.pull(sid).size
+            te = time.perf_counter()
+            pull_s += te - tq
+            iter_ms.append(round((te - ti) * 1e3, 2))
         dt = time.perf_counter() - t0
         stats = mf.stats()
         phase_s = sum(sum(b.fleet.stats.phase_seconds.values())
                       for b in mf._buckets.values())
+        # named phases: host push loop + host pull loop + the fleet's own
+        # per-launch attribution inside poll (gather/dispatch/readback/
+        # unpack); residual = poll wall the fleet phases don't cover
+        # (bucket iteration, ready checks) — recorded, so nothing is
+        # silently unattributed
+        accounted = (push_s + pull_s + phase_s) / dt if dt else None
+        srt = sorted(iter_ms)
         # host capability: total out samples over total MIN gather+unpack
         # time (min spans per bucket x its launch count — the mean
         # absorbs tunnel-descheduling stalls on this 1-core host, see
@@ -549,7 +763,24 @@ def multifleet_e2e(n_streams=1024, n_buckets=4, target_frames=2048):
         return {"out_samples_per_sec": round(produced / dt),
                 "streams": n_streams, "buckets": len(configs),
                 "degraded": mf.degraded,
-                "accounted_frac": round(phase_s / dt, 3) if dt else None,
+                "timed_rounds": iters,
+                "iter_ms_median": srt[len(srt) // 2],
+                "iter_ms_min": srt[0],
+                "iter_ms_spread": (round((srt[-1] - srt[0]) / srt[0], 3)
+                                   if srt[0] else None),
+                "out_samples_per_sec_best": (round(
+                    produced / iters / (srt[0] * 1e-3)) if srt[0]
+                    else None),
+                "phase_push_ms": round(push_s / iters * 1e3, 2),
+                "phase_poll_ms": round(poll_s / iters * 1e3, 2),
+                "phase_pull_ms": round(pull_s / iters * 1e3, 2),
+                "phase_fleet_internal_ms": round(phase_s / iters * 1e3, 2),
+                "poll_residual_ms": round((poll_s - phase_s) / iters * 1e3,
+                                          2),
+                "accounted_frac": (round(accounted, 3)
+                                   if accounted is not None else None),
+                "accounting_gate_0p9": (accounted is not None
+                                        and accounted >= 0.9),
                 "host_path_samples_per_sec": (round(cap_out / cap_s)
                                               if cap_s else None),
                 "per_bucket": {k: {"launches": v["launches"],
@@ -669,6 +900,7 @@ def main():
         "in_frames_per_launch": flag["in_frames_per_launch"],
         "out_frames_per_launch": flag["out_frames_per_launch"],
         "sweep": {}, "fixed_point_universe": {},
+        "single_stream": {"skipped": "not reached"},
         "stager": {"skipped": "not reached"},
         "fleet_e2e": {"skipped": "not reached"},
         "fleet_e2e_fixed": {"skipped": "not reached"},
@@ -695,6 +927,12 @@ def main():
         "scheme-ladder passes); observed model error up to ~10% "
         "(roofline_frac_quiet up to 1.10 is measurement-real, not "
         "super-physical); slope rejection floor = roofline/1.3")
+
+    # single-stream home-turf number (pure host, ~4 s): the ONE place the
+    # framework could lose to the reference C, so it runs before any
+    # tunnel-bound section can eat the budget
+    _note("single stream")
+    extra["single_stream"] = single_stream_bench()
 
     # the round-3 headline artifact: run it FIRST among the optional
     # sections so a budget squeeze can never drop it

@@ -45,7 +45,8 @@ class FleetResampler(ZeroFillDegradation):
                  max_latency_ms: float | None = None,
                  max_staged_frames: int | None = None,
                  max_banked_frames: int | None = None,
-                 pipeline_depth: int = 2):
+                 pipeline_depth: int = 2,
+                 device_consumer=None):
         """``max_staged_frames`` / ``max_banked_frames`` are per-stream
         high-watermarks bounding host memory (the reference's Node
         Transform inherits stream backpressure, src/index.ts:121-162;
@@ -62,7 +63,19 @@ class FleetResampler(ZeroFillDegradation):
         AND result readback with the next launch's host gather/dispatch —
         readback through a remote device tunnel is the serving binder
         (BENCH fleet_e2e records the per-phase breakdown).  Depth 1 is
-        the classic dispatch-then-drain pipeline."""
+        the classic dispatch-then-drain pipeline.
+
+        ``device_consumer`` — DEVICE-RESIDENT egress: a traceable fn
+        ``y i16[out_rows, B] -> small array`` fused into the jitted step
+        (the resampled audio feeds a downstream on-chip pipeline — an ASR
+        front-end, a mixer — instead of returning to the host).  Readback
+        then transfers only the consumer's result (O(1) for a checksum/
+        reduction), ``pull()`` yields nothing, and per-launch consumer
+        results are appended to ``self.consumed``.  This replaces the
+        reference's mandatory WASM-heap copy-out (src/index.ts:111-115)
+        with no host egress at all; BENCH fleet_e2e measures the serving
+        pipeline this way (``colocated_proxy``), so the number is real,
+        not tunnel arithmetic."""
         if n_streams <= 0 or channels <= 0 or in_rate <= 0 or out_rate <= 0:
             raise ResamplerError(ResamplerErrorCode.INVALID_ARG)
         if (max_staged_frames is not None and max_staged_frames <= 0) or \
@@ -108,6 +121,16 @@ class FleetResampler(ZeroFillDegradation):
             self.spec, self.bspec, use_pallas=use_pallas,
             pallas_interpret=pallas_interpret, lane_major=True)
         self._w = self._step.w
+        self._consumer = device_consumer
+        self.consumed: list = []  # per-launch device_consumer results
+        if device_consumer is not None:
+            base_fn = self._step.fn
+
+            def _fused(hist, x, w):
+                h2, y = base_fn(hist, x, w)
+                return h2, device_consumer(y)
+
+            self._fused_fn = jax.jit(_fused)
         self._hist = jnp.zeros((self._step.hist_rows, self.B),
                                dtype=jnp.int16)
         self._stager = make_stager(n_streams, channels,
@@ -229,6 +252,11 @@ class FleetResampler(ZeroFillDegradation):
     def _drain_one(self, pending) -> None:
         with self.stats.phase("readback"):
             y = self._recv(pending.popleft())
+        if self._consumer is not None:
+            # device-resident egress: y IS the consumer's result; nothing
+            # to unpack or bank (audio never crossed to the host)
+            self.consumed.append(y)
+            return
         with self.stats.phase("unpack"):
             self._bank(y, None)
 
@@ -260,6 +288,13 @@ class FleetResampler(ZeroFillDegradation):
             if slab is None:
                 break
             y = self._recv(self._dispatch_chunk(slab))
+            if self._consumer is not None:
+                # device-resident egress: the final partial quantum is
+                # consumed on device too (its zero-padding tail windows
+                # included — the consumer sees the same don't-care rows
+                # the banking path would have trimmed)
+                self.consumed.append(y)
+                continue
             per_stream = [ph.producible_outputs(int(f), 0, self.bspec.f0,
                                                 self.spec.num, self.spec.den)
                           for f in staged]
@@ -284,7 +319,9 @@ class FleetResampler(ZeroFillDegradation):
                 return self._degraded_dispatch(slab)
             try:
                 x = jnp.asarray(slab)
-                self._hist, y = self._step.fn(self._hist, x, self._w)
+                fn = (self._fused_fn if self._consumer is not None
+                      else self._step.fn)
+                self._hist, y = fn(self._hist, x, self._w)
                 return y
             except Exception:
                 self._enter_degraded()

@@ -361,3 +361,36 @@ def test_stager_carry_size_matches_carry():
         assert st.carry_size(0) == len(st.carry(0)) == 3
         st.push_bytes(0, b"\x04\x05")          # completes a frame, carry 1
         assert st.carry_size(0) == len(st.carry(0)) == 1
+
+
+def test_device_consumer_fleet():
+    """device_consumer: the launch output is consumed ON DEVICE (fused
+    into the jitted step) and readback transfers only the consumer's
+    result — the tunnel-free serving topology BENCH fleet_e2e measures as
+    ``colocated_proxy``.  The checksum must equal the banked-path sum,
+    pull() must yield nothing, and flush() must keep consuming."""
+    import jax.numpy as jnp
+    from speex_resampler_tpu.runtime.fleet import FleetResampler
+
+    S, C = 8, 2
+    fl = FleetResampler(S, C, 44100, 48000, 7, target_chunk_frames=1024,
+                        device_consumer=lambda y: jnp.sum(
+                            y.astype(jnp.int32)))
+    ref = FleetResampler(S, C, 44100, 48000, 7, target_chunk_frames=1024)
+    rng = np.random.default_rng(0)
+    q = fl.bspec.in_per_launch
+    frames = (rng.integers(-32768, 32768, size=(S, q, C)) // 2).astype(
+        np.int16)
+    for s in range(S):
+        fl.push(s, frames[s])
+        ref.push(s, frames[s])
+    assert fl.poll() == 1 and ref.poll() == 1
+    got = int(np.asarray(fl.consumed[0]))
+    want = sum(int(ref.pull(s).astype(np.int32).sum()) for s in range(S))
+    assert got == want
+    assert fl.pull(0).shape == (0, C)        # audio never crossed to host
+    assert fl.pending(0) == 0
+    for s in range(S):                        # flush path consumes too
+        fl.push(s, frames[s][:q // 2])
+    fl.flush()
+    assert len(fl.consumed) == 2
