@@ -298,16 +298,25 @@ def measure_config(in_rate, out_rate, quality, *, use_pallas,
     @functools.partial(jax.jit, static_argnames=("iters",))
     def rep(hist, x, w, salt, iters):
         # Each step must be genuinely iteration-dependent or XLA's
-        # loop-invariant code motion elides it (hist2 is a slice of the
-        # constant x, so the carried history alone is NOT enough).  Salting
-        # the small history with the accumulating checksum creates a true
-        # cross-iteration dependence at ~0.5 MB copy cost.
+        # loop-invariant code motion elides it.  Salting the carried
+        # history is NOT enough for the XLA-transparent kernel families
+        # (dense/gather): only the first blocks read hist, so XLA hoists
+        # the x-only GEMM out of the scan and the "launch" times at a
+        # physically impossible rate (round 4's hard_latency row recorded
+        # roofline_frac_quiet = 1.173 quiet = 0.030 ms, i.e. 2x the
+        # chip's SINGLE-pass bf16 peak for a 6-pass HIGHEST dot; the
+        # honest cost re-measured with x salted is ~0.086 ms).  So x is
+        # salted too — and carried through the scan so the row update
+        # aliases in place instead of recopying the ~38 MB operand every
+        # iteration (a +26%-of-flagship-launch artifact the other way).
         def body(carry, _):
-            h, chk = carry
-            hs = h.at[0, :].add((chk + salt).astype(jnp.int16))
-            h2, y = step(hs, x, w)
-            return (h2, chk + y[0, 0].astype(jnp.int32)), None
-        (h, chk), _ = lax.scan(body, (hist, jnp.int32(0)), length=iters)
+            h, xc, chk = carry
+            s = (chk + salt).astype(jnp.int16)
+            xs = xc.at[0, :].add(s)   # carried: in-place on the scan buffer
+            h2, y = step(h.at[0, :].add(s), xs, w)
+            return (h2, xs, chk + y[0, 0].astype(jnp.int32)), None
+        (h, xc, chk), _ = lax.scan(body, (hist, x, jnp.int32(0)),
+                                   length=iters)
         return chk
 
     for it in (ITERS_SHORT, ITERS_LONG):

@@ -26,6 +26,7 @@ import time
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -104,6 +105,47 @@ def measure(wdt, C, K, n_samples=30):
     return macs_per_step / s
 
 
+def measure_xla_gemm(precision, dt, M, K, N, n_samples=30):
+    """Sustained MAC rate of the XLA (non-Pallas) GEMM the DENSE kernel
+    family actually issues: jnp.dot(x[M,K], w[K,N], precision=...).  A
+    lax.scan chains G dependent GEMMs (the carry re-seeds x's first row so
+    XLA cannot hoist); two scan lengths + lower-envelope slope as above.
+    This prices Precision.HIGHEST empirically — the bench roofline had
+    assumed 6 bf16-equivalent passes and recorded hard_latency
+    roofline_frac_quiet = 1.173, i.e. the assumption overprices the
+    dense scheme by >=17% on this chip."""
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((M, K)).astype(np.float32) * .1,
+                     dtype=dt)
+    w = jnp.asarray(rng.standard_normal((K, N)).astype(np.float32) * .1,
+                    dtype=dt)
+    macs_per_step = M * K * N
+    step_est = macs_per_step / DATASHEET_MACS * 6
+    g2 = max(64, int(30e-3 / step_est))
+    g1 = g2 // 8
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def rep(x, w, iters):
+        def body(carry, _):
+            y = jnp.dot(carry, w, precision=precision,
+                        preferred_element_type=jnp.float32)
+            # feed the output back at matching dtype/shape: K == N here
+            return y[:, :K].astype(dt), None
+        out, _ = lax.scan(body, x, length=iters)
+        return out[0, 0]
+
+    for G in (g1, g2):
+        jax.device_get(rep(x0, w, G))
+    lo = {g1: 9e9, g2: 9e9}
+    for _ in range(n_samples):
+        for G in (g1, g2):
+            t0 = time.perf_counter()
+            jax.device_get(rep(x0, w, G))
+            lo[G] = min(lo[G], time.perf_counter() - t0)
+    s = (lo[g2] - lo[g1]) / (g2 - g1)
+    return macs_per_step / s if s > 0 else None
+
+
 def main():
     out = {"device": str(jax.devices()[0].device_kind),
            "shapes": {}, "peak_macs": {}}
@@ -125,9 +167,30 @@ def main():
             out["shapes"][f"{name}_{C}x{K}"] = r
             best = max(best, r)
         out["peak_macs"][name] = best
+    # XLA-GEMM rates for the dense (non-Pallas) family: HIGHEST-precision
+    # f32 (what resample_conv issues) and single-pass bf16 as the unit
+    for name, prec, dt in [
+            ("xla_f32_highest", jax.lax.Precision.HIGHEST, jnp.float32),
+            ("xla_bf16", jax.lax.Precision.DEFAULT, jnp.bfloat16)]:
+        try:
+            r = measure_xla_gemm(prec, dt, 2048, 512, 512)
+        except Exception as e:
+            print(f"{name} FAILED: {str(e).splitlines()[0][:100]}",
+                  flush=True)
+            continue
+        if r is None:
+            print(f"{name}: slopes inverted (chip busy)", flush=True)
+            continue
+        print(f"{name:16s}  {r/1e12:7.1f} T MAC/s", flush=True)
+        out["peak_macs"][name] = r
     i8, bf = out["peak_macs"].get("int8"), out["peak_macs"].get("bf16")
     if i8 and bf:
         print(f"int8:bf16 ratio = {i8/bf:.2f}x")
+    xh, xb = (out["peak_macs"].get("xla_f32_highest"),
+              out["peak_macs"].get("xla_bf16"))
+    if xh and xb:
+        print(f"HIGHEST costs {xb/xh:.2f} bf16-equivalent passes "
+              f"(model had assumed 6)")
     path = os.path.join(os.path.dirname(__file__), os.pardir, "build",
                         "mxu_peaks.json")
     with open(path, "w") as f:
