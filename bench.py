@@ -116,10 +116,12 @@ def _compact_summary(payload: dict) -> dict:
             or (d.get("error") and {"error": str(d["error"])[:120]}) or {}
 
     sweep = {cfg: _row(m, "out_samples_per_sec_quiet",
-                       "roofline_frac_quiet")
+                       "roofline_frac_quiet",
+                       "roofline_frac_of_shape_quiet")
              for cfg, m in (ex.get("sweep") or {}).items()}
     fixed = {cfg: _row(m, "out_samples_per_sec_quiet",
-                       "roofline_frac_quiet")
+                       "roofline_frac_quiet",
+                       "roofline_frac_of_shape_quiet")
              for cfg, m in (ex.get("fixed_point_universe") or {}).items()}
     sm = ex.get("on_chip_shardmap")
     compact = {
@@ -212,15 +214,61 @@ def _note(msg: str) -> None:
 # D-digit int8 scheme costs D bf16-equivalent passes)
 PEAK_BF16_FLOPS = 197e12
 
+# Measured sustained MAC rates for the EXACT [C, K] block operands the
+# Pallas kernels contract (experiments/mxu_peak.py on this chip, int16->
+# int8-plane dots, VMEM-resident, slope-of-two-grids).  The datasheet
+# model above is shape-blind; small blocks physically cannot sustain it
+# ([128, 136] runs at 63% of [256, 520]'s rate on the same MXU).  These
+# constants turn each row's roofline_frac into a second, shape-aware
+# fraction: roofline_frac_of_shape ~ 1.0 means the kernel is at the
+# measured speed of light FOR ITS GEOMETRY and the residual vs the
+# datasheet model is the MXU's own shape behavior, not kernel overhead.
+MODEL_PASS_MACS = PEAK_BF16_FLOPS / 2          # 98.5 T MAC/s per pass
+MEASURED_SHAPE_MACS = {                         # (C, K) -> MAC/s
+    (128, 264): 98.1e12,
+    (512, 264): 135.7e12,
+    (128, 136): 60.8e12,
+    (256, 520): 137.4e12,
+    (256, 208): 121.2e12,   # widened-R short-span block (_tiled_R)
+    (128, 400): 116.6e12,   # decimate tiled block (44.1k->24k q5)
+}
+# measured rate of the XLA Precision.HIGHEST f32 GEMM the dense family
+# issues (~15.0-15.3 T MAC/s across sessions; the 6-pass model prices it
+# at 16.4 T, so dense floors run ~8% hot without this correction)
+MEASURED_XLA_HIGHEST_MACS = 15.0e12
+
+
+def _shape_peak_frac(C, K, scheme):
+    """Measured-achievable fraction of the datasheet per-pass rate for
+    this block shape, or None when no measurement covers it."""
+    if scheme in ("highest", "split5") or C is None:
+        return None
+    best, bd = None, None
+    for (c, k), rate in MEASURED_SHAPE_MACS.items():
+        if rate is None:
+            continue
+        d = abs(c - C) / max(c, C) + abs(k - K) / max(k, K)
+        if bd is None or d < bd:
+            best, bd = rate, d
+    if best is None or bd > 0.35:   # no measurement near this shape
+        return None
+    return best / MODEL_PASS_MACS
+
 
 def _roofline_ms(bstep, bspec, B):
-    """Scheme-aware MXU floor for one launch, ms (None where the config
-    has no MXU formulation, e.g. the gather geometry).  One bf16-rate
-    pass over the launch is 2 * n_blocks * C * K * B FLOPs, where [C, K]
-    is the per-block weight operand actually contracted (read from the
-    weight shapes so padding and fixed-universe accumulator columns are
-    counted); scheme ladder costs in bf16-equivalents: int8 = D digits,
-    split5 = 5, highest = 6, fixed = 2 per column set."""
+    info = _roofline_info(bstep, bspec, B)
+    return info[0] if info else None
+
+
+def _roofline_info(bstep, bspec, B):
+    """Scheme-aware MXU floor for one launch: (ms, C, K, passes), or None
+    where the config has no MXU formulation (gather geometry).  One
+    bf16-rate pass over the launch is 2 * n_blocks * C * K * B FLOPs,
+    where [C, K] is the per-block weight operand actually contracted
+    (read from the weight shapes so padding and fixed-universe
+    accumulator columns are counted); scheme ladder costs in
+    bf16-equivalents: int8 = D digits, split5 = 5, highest = 6,
+    fixed = 2 per column set."""
     import numpy as _np
     s, w = bstep.scheme, bstep.w
     try:
@@ -256,9 +304,10 @@ def _roofline_ms(bstep, bspec, B):
                 L, C = _np.asarray(w).shape[:2]
                 passes = 6.0
             flops = 2.0 * bspec.n_blocks * L * C * B * passes
+            return (flops / PEAK_BF16_FLOPS * 1e3, None, None, passes)
         else:
             return None
-        return flops / PEAK_BF16_FLOPS * 1e3
+        return (flops / PEAK_BF16_FLOPS * 1e3, int(C), int(K), passes)
     except Exception:
         return None
 
@@ -346,7 +395,16 @@ def measure_config(in_rate, out_rate, quality, *, use_pallas,
     # 0.13-0.44 ms/launch across contention windows).  Under heavy
     # contention one slope can cost minutes — bail once 2 are in hand if
     # the budget is running out.
-    roof_ms = _roofline_ms(bstep, bspec, B)
+    roof_info = _roofline_info(bstep, bspec, B)
+    roof_ms, roof_C, roof_K = ((roof_info[0], roof_info[1], roof_info[2])
+                               if roof_info else (None, None, None))
+    shape_frac = (_shape_peak_frac(roof_C, roof_K, bstep.scheme)
+                  if roof_info else None)
+    if (shape_frac is None and bspec.kernel == "dense"
+            and bstep.scheme == "highest"):
+        # dense rows issue one XLA HIGHEST GEMM per block; its measured
+        # rate vs the 6-pass model is shape-independent at these sizes
+        shape_frac = MEASURED_XLA_HIGHEST_MACS / (MODEL_PASS_MACS / 6.0)
     # a slope can only be trusted between the physics floor and +inf: a
     # SHORT-scan contention spike makes it negative (observed -0.185 ms),
     # and the same spike in milder form yields a positive slope BELOW the
@@ -402,6 +460,15 @@ def measure_config(in_rate, out_rate, quality, *, use_pallas,
         "roofline_ms": (round(roof_ms, 4) if roof_ms else None),
         "roofline_frac_quiet": (round(roof_ms / (quiet * 1e3), 3)
                                 if roof_ms and quiet else None),
+        # shape-aware context: the measured MXU rate for this row's
+        # [C, K] block (MEASURED_SHAPE_MACS) as a fraction of the
+        # datasheet per-pass model, and the quiet launch as a fraction
+        # of THAT — ~1.0 = speed of light for this geometry
+        "mxu_block": ([roof_C, roof_K] if roof_C else None),
+        "shape_peak_frac": (round(shape_frac, 3) if shape_frac else None),
+        "roofline_frac_of_shape_quiet": (
+            round(roof_ms / (quiet * 1e3) / shape_frac, 3)
+            if roof_ms and quiet and shape_frac else None),
         "out_samples_per_sec": round(bspec.out_per_launch * B / per_launch),
         "out_samples_per_sec_best": round(bspec.out_per_launch * B / best),
         "out_samples_per_sec_quiet": round(bspec.out_per_launch * B
@@ -933,9 +1000,13 @@ def main():
     # uses floor/1.3 to stay clear of that model error
     extra["roofline_note"] = (
         "roofline_ms is a datasheet-peak MXU model (197 bf16 TFLOP/s, "
-        "scheme-ladder passes); observed model error up to ~10% "
-        "(roofline_frac_quiet up to 1.10 is measurement-real, not "
-        "super-physical); slope rejection floor = roofline/1.3")
+        "scheme-ladder passes; the HIGHEST f32 GEMM measured ~15 T MAC/s "
+        "vs the 16.4 modeled, experiments/mxu_peak.py); the model is "
+        "shape-blind, so each row also carries shape_peak_frac = the "
+        "MEASURED sustained MAC rate for its [C,K] block as a fraction "
+        "of the model rate, and roofline_frac_of_shape_quiet ~ 1.0 means "
+        "the kernel is at the measured speed of light for its geometry; "
+        "slope rejection floor = roofline/1.3")
 
     # single-stream home-turf number (pure host, ~4 s): the ONE place the
     # framework could lose to the reference C, so it runs before any
@@ -972,6 +1043,8 @@ def main():
                     "kernel", "scheme", "launch_ms", "launch_ms_best",
                     "launch_ms_quiet", "launch_ms_spread",
                     "roofline_ms", "roofline_frac_quiet",
+                              "mxu_block", "shape_peak_frac",
+                              "roofline_frac_of_shape_quiet",
                     "out_samples_per_sec", "out_samples_per_sec_quiet",
                     "in_frames_per_launch", "out_frames_per_launch")
             } | {"quantum_ms": round(m["in_frames_per_launch"] / 44100
@@ -1003,6 +1076,8 @@ def main():
                               "launch_ms_best", "launch_ms_quiet",
                               "launch_ms_spread", "slopes_rejected",
                               "roofline_ms", "roofline_frac_quiet",
+                              "mxu_block", "shape_peak_frac",
+                              "roofline_frac_of_shape_quiet",
                               "out_samples_per_sec",
                               "out_samples_per_sec_best",
                               "out_samples_per_sec_quiet",
@@ -1025,6 +1100,8 @@ def main():
                               "launch_ms_best", "launch_ms_quiet",
                               "launch_ms_spread", "slopes_rejected",
                               "roofline_ms", "roofline_frac_quiet",
+                              "mxu_block", "shape_peak_frac",
+                              "roofline_frac_of_shape_quiet",
                               "out_samples_per_sec",
                               "out_samples_per_sec_best",
                               "out_samples_per_sec_quiet",

@@ -47,7 +47,10 @@ def grids_for(C, K):
 #   [512, 264]  fixed interpolate block
 #   [128, 136]  short-filter (q5 upsample) block
 #   [256, 520]  long-filter (q10 decimate, streamed) block
-SHAPES = [(128, 264), (512, 264), (128, 136), (256, 520)]
+#   [256, 208]  widened short-span block (24k->48k at R=256, _tiled_R)
+#   [128, 400]  decimate tiled block (44.1k->24k q5, filt_len 152)
+SHAPES = [(128, 264), (512, 264), (128, 136), (256, 520),
+          (256, 208), (128, 400)]
 
 
 def make_fn(wdt, C, K, G):

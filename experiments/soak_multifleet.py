@@ -82,9 +82,22 @@ def main() -> int:
                     max_staged_frames=24576,
                     max_banked_frames=65536,
                     max_idle_buckets=3)   # < len(CONFIGS): eviction churns
-    chunks = {cfg: (rng.integers(-32768, 32768,
-                                 size=(CHUNK_FRAMES, CHANNELS))
-                    // 2).astype(np.int16) for cfg in CONFIGS}
+    # push one full launch quantum per stream per round (the round-4 soak
+    # pushed fixed 512-frame chunks; the largest bucket's quantum is
+    # 20480 frames at this target on the CPU dense geometry, so 3 rounds
+    # never reached readiness and the artifact recorded launches=0 —
+    # churn without a single resample).  Quanta are config-deterministic;
+    # fill the map lazily after each config's first bucket exists.
+    chunks: dict[tuple, np.ndarray] = {}
+
+    def chunk_for(cfg):
+        if cfg not in chunks:
+            q = mf._buckets[cfg].fleet.bspec.in_per_launch
+            chunks[cfg] = (rng.integers(-32768, 32768,
+                                        size=(q, CHANNELS))
+                           // 2).astype(np.int16)
+        return chunks[cfg]
+
     live: list[tuple[str, tuple]] = []
     next_sid = 0
 
@@ -109,8 +122,9 @@ def main() -> int:
     while time.monotonic() - t0 < SOAK_S:
         rounds += 1
         for sid, cfg in live:
-            if mf.writable(sid, CHUNK_FRAMES):
-                mf.push(sid, chunks[cfg])
+            c = chunk_for(cfg)
+            if mf.writable(sid, len(c)):
+                mf.push(sid, c)
             else:
                 refused += 1
         launches += mf.poll()
@@ -161,7 +175,10 @@ def main() -> int:
     ok = (peak_after < GROWTH_PEAK_MB
           and final - baseline < GROWTH_FINAL_MB
           and slope < SLOPE_MB_PER_MIN
-          and not mf.degraded)
+          and not mf.degraded
+          # a soak that never launched churned buckets but resampled
+          # nothing — flat RSS would be vacuous evidence
+          and launches > 0 and out_samples > 0)
     result = {
         "duration_s": round(time.monotonic() - t0, 1),
         "rounds": rounds, "launches": launches,

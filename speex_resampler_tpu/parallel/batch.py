@@ -37,6 +37,7 @@ import collections
 import dataclasses
 import functools
 import math
+import threading
 
 import numpy as np
 import jax
@@ -221,6 +222,43 @@ def _hist_rows_tiled(filt_len: int) -> int:
     return -(-(filt_len - 1) // 16) * 16
 
 
+def _tiled_R(spec: fd.FilterSpec) -> int:
+    """Output-block height R for the phase-tiled kernels.
+
+    R = 128 (one MXU pass) is right when the per-block input span
+    R*num/den is comparable to filt_len — the flagship's [128, 264] int8
+    dot already runs at the chip's measured rate for that shape.  But
+    short-span configs (integer upsample ratios: 24k->48k has span 64,
+    K = 144) leave the per-block GEMM too small for the MXU to sustain
+    rate: measured ~62 T int8 MAC/s at [128, 136] vs ~95 T at [128, 264]
+    (experiments/mxu_peak.py), and the whole launch sat at 0.47 of its
+    roofline (BENCH r04).  Doubling R doubles the dot's M and span
+    without touching the math (same taps, same digit planes, more
+    zero-padding): R=256 measured +41% out samples/s on 24k->48k q5
+    (experiments/v3_wide_r.py); R=512 gives the MXU a still better shape
+    but K-padding (span + filt_len per output) costs more MACs than the
+    rate buys back.
+
+    Widen while the span stays under 96 rows, capped at 512, and never
+    past half the kernel family's VMEM weight budget (so widening can
+    never demote a tiled config to streamed/dense)."""
+    n_cols = 4 if (spec.fixed_point and not spec.use_direct) else 1
+    itemsize = 2 if spec.fixed_point else 4
+    budget = (_MAX_FIXED_TILED_WEIGHT_BYTES if spec.fixed_point
+              else _MAX_TILED_WEIGHT_BYTES)
+    R = 128
+    while R < 512 and (R * spec.num) // spec.den < 96:
+        R2 = R * 2
+        g = math.gcd(R2 * spec.num, spec.den)
+        S0 = R2 * spec.num // g                   # per P0 = den/g blocks
+        P = (spec.den // g) * (16 // math.gcd(S0, 16))
+        K_est = (-(-(R2 * spec.num) // spec.den)) + spec.filt_len + 16
+        if itemsize * P * K_est * R2 * n_cols > budget // 2:
+            break
+        R = R2
+    return R
+
+
 def _tiled_weights(spec: fd.FilterSpec, f0: int = 0, component: int = 0):
     """Phase-tiled weight tables, cached ON the spec (FilterSpec is not
     hashable — ndarray fields — so this mirrors its lazy-table pattern).
@@ -251,7 +289,7 @@ def _tiled_weights(spec: fd.FilterSpec, f0: int = 0, component: int = 0):
                 # shapes only)
                 pt = spec.interp_taps[:, component, :]
             cache[key] = ph.build_phase_tiled_weights(
-                pt, spec.num, spec.den, f0,
+                pt, spec.num, spec.den, f0, R=_tiled_R(spec),
                 origin_shift=H - (spec.filt_len - 1))
         return cache[key]
 
@@ -429,6 +467,36 @@ def _launch_geometry_impl(spec: fd.FilterSpec, target_in_frames: int,
                      f0=f0)
 
 
+# Per-process memo for built steps: every make_batched_step call used to
+# jit a FRESH closure, so jax's trace cache (keyed on function identity)
+# missed even for an identical config — a MultiFleet bucket rebuilt after
+# idle-LRU eviction paid a full XLA retrace+compile (seconds on CPU, tens
+# of seconds cold on TPU; the round-4 soak spent ~80 s/round on exactly
+# this).  BatchedStep is frozen and its weights are read-only device
+# arrays, so instances are safely shared across engine incarnations.
+# Keyed on the full geometric identity of the design (num/den/quality/
+# universe/direct-vs-interpolated — design_filter is deterministic in
+# these) + launch geometry + trace-shaping knobs.  Size-bounded: streamed
+# weight sets reach 256 MB, so eviction is by total weight bytes AND
+# entry count (LRU).
+_STEP_CACHE: "collections.OrderedDict[tuple, BatchedStep]" = \
+    collections.OrderedDict()
+_STEP_CACHE_LOCK = threading.Lock()
+_STEP_CACHE_MAX_ENTRIES = 16
+_STEP_CACHE_MAX_BYTES = 256 * 1024 * 1024
+
+
+def _step_weight_bytes(step: BatchedStep) -> int:
+    return sum(getattr(leaf, "nbytes", 0)
+               for leaf in jax.tree_util.tree_leaves(step.w))
+
+
+def clear_step_cache() -> None:
+    """Drop all memoized steps (frees their device weight arrays)."""
+    with _STEP_CACHE_LOCK:
+        _STEP_CACHE.clear()
+
+
 def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
                       use_pallas: bool | None = None,
                       pallas_interpret: bool = False,
@@ -436,6 +504,58 @@ def make_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
                       axis: str = "streams",
                       scheme: str = "auto",
                       lane_major: bool = False) -> BatchedStep:
+    """Memoizing front-end for :func:`_build_batched_step` (see its
+    docstring for the step contract).  Mesh-wrapped steps bypass the memo
+    (mesh identity is caller-owned)."""
+    if mesh is not None:
+        return _build_batched_step(
+            spec, bspec, use_pallas=use_pallas,
+            pallas_interpret=pallas_interpret, mesh=mesh, axis=axis,
+            scheme=scheme, lane_major=lane_major)
+    # mirror _build_batched_step's use_pallas normalization so equivalent
+    # calls share a key
+    if spec.fixed_point:
+        eff_pallas = bspec.kernel in ("tiled", "streamed")
+    elif use_pallas is None:
+        eff_pallas = jax.default_backend() == "tpu"
+    else:
+        eff_pallas = bool(use_pallas)
+    key = (spec.num, spec.den, spec.quality, spec.fixed_point,
+           spec.use_direct, spec.filt_len, spec.oversample, bspec,
+           eff_pallas, bool(pallas_interpret), scheme, bool(lane_major),
+           AUTO_RESOLVE_UNDER_INTERPRET, jax.default_backend())
+    with _STEP_CACHE_LOCK:
+        hit = _STEP_CACHE.get(key)
+        if hit is not None:
+            _STEP_CACHE.move_to_end(key)
+            return hit
+    # build outside the lock: concurrent misses on DIFFERENT configs must
+    # not serialize behind one compile (duplicate builds of the SAME key
+    # are benign — first insert wins)
+    step = _build_batched_step(
+        spec, bspec, use_pallas=use_pallas,
+        pallas_interpret=pallas_interpret, scheme=scheme,
+        lane_major=lane_major)
+    with _STEP_CACHE_LOCK:
+        if key not in _STEP_CACHE:
+            _STEP_CACHE[key] = step
+        _STEP_CACHE.move_to_end(key)
+        total = sum(_step_weight_bytes(s) for s in _STEP_CACHE.values())
+        while _STEP_CACHE and (
+                len(_STEP_CACHE) > _STEP_CACHE_MAX_ENTRIES
+                or total > _STEP_CACHE_MAX_BYTES):
+            _, old = _STEP_CACHE.popitem(last=False)
+            total -= _step_weight_bytes(old)
+        return _STEP_CACHE.get(key, step)
+
+
+def _build_batched_step(spec: fd.FilterSpec, bspec: BatchSpec, *,
+                        use_pallas: bool | None = None,
+                        pallas_interpret: bool = False,
+                        mesh: jax.sharding.Mesh | None = None,
+                        axis: str = "streams",
+                        scheme: str = "auto",
+                        lane_major: bool = False) -> BatchedStep:
     """Build the jitted steady-state step function.
 
     ``scheme`` selects the float-universe matmul precision scheme on the

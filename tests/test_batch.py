@@ -624,3 +624,58 @@ def test_batched_mesh_sharded_streamed_int8_interpret(monkeypatch):
     assert sharded.bspec.kernel == "streamed"
     b = np.concatenate([sharded.process(frames), sharded.flush()], axis=1)
     assert np.array_equal(a, b)
+
+
+def test_step_cache_reuses_identical_config():
+    """make_batched_step memoizes: an identical (design, geometry, knobs)
+    request returns the SAME BatchedStep — a MultiFleet bucket rebuilt
+    after idle-LRU eviction must not pay a second XLA trace/compile.
+    Different geometry or scheme must miss."""
+    import speex_resampler_tpu.parallel.batch as batch_mod
+
+    batch_mod.clear_step_cache()
+    spec = fd.design_filter(147, 160, 7)
+    bspec = batch_mod._launch_geometry(spec, 4096, use_pallas=False)
+    s1 = batch_mod.make_batched_step(spec, bspec, use_pallas=False)
+    # a FRESH spec object with the same design identity still hits
+    spec2 = fd.design_filter(147, 160, 7)
+    s2 = batch_mod.make_batched_step(spec2, bspec, use_pallas=False)
+    assert s1 is s2
+    # different launch geometry misses
+    bspec3 = batch_mod._launch_geometry(spec, 8192, use_pallas=False)
+    if bspec3 != bspec:
+        s3 = batch_mod.make_batched_step(spec, bspec3, use_pallas=False)
+        assert s3 is not s1
+    # lane-major trace is a different step
+    s4 = batch_mod.make_batched_step(spec, bspec, use_pallas=False,
+                                     lane_major=True)
+    assert s4 is not s1
+    # the memo is bounded: counts and weight bytes both enforce eviction
+    with batch_mod._STEP_CACHE_LOCK:
+        assert len(batch_mod._STEP_CACHE) <= \
+            batch_mod._STEP_CACHE_MAX_ENTRIES
+    batch_mod.clear_step_cache()
+
+
+def test_step_cache_engines_share_step_and_stay_independent():
+    """Two engines over the same config share the cached step but keep
+    independent histories/output (the step is stateless by contract)."""
+    import speex_resampler_tpu.parallel.batch as batch_mod
+
+    batch_mod.clear_step_cache()
+    S, C = 3, 2
+    fa = _random_frames(S, 5000, C, seed=17)
+    fb = _random_frames(S, 5000, C, seed=18)
+    ea = BatchedResampler(S, C, 24000, 48000, 5, use_pallas=False)
+    eb = BatchedResampler(S, C, 24000, 48000, 5, use_pallas=False)
+    assert ea._step is eb._step
+    ya = np.concatenate([ea.process(fa), ea.flush()], axis=1)
+    yb = np.concatenate([eb.process(fb), eb.flush()], axis=1)
+    # independent single-engine runs on fresh engines agree exactly
+    batch_mod.clear_step_cache()
+    ea2 = BatchedResampler(S, C, 24000, 48000, 5, use_pallas=False)
+    ya2 = np.concatenate([ea2.process(fa), ea2.flush()], axis=1)
+    eb2 = BatchedResampler(S, C, 24000, 48000, 5, use_pallas=False)
+    yb2 = np.concatenate([eb2.process(fb), eb2.flush()], axis=1)
+    assert np.array_equal(ya, ya2)
+    assert np.array_equal(yb, yb2)
