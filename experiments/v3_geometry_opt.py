@@ -102,12 +102,20 @@ def measure(conv, hist0, x0, w):
 
 
 def main():
-    spec = fd.design_filter(147, 160, 7)
+    # argv: [num den quality [R:lb ...]]  (default: flagship, full sweep)
+    if len(sys.argv) >= 4:
+        num, den, q = (int(a) for a in sys.argv[1:4])
+        cases = [tuple(int(v) for v in a.split(":"))
+                 for a in sys.argv[4:]] or [(128, 128), (256, 128),
+                                            (512, 128)]
+    else:
+        num, den, q = 147, 160, 7
+        cases = [(128, 128), (128, 256), (128, 512),
+                 (256, 128), (256, 256), (256, 512)]
+    spec = fd.design_filter(num, den, q)
     rng = np.random.default_rng(0)
     out = {}
     ref_y = None
-    cases = [(128, 128), (128, 256), (128, 512),
-             (256, 128), (256, 256), (256, 512)]
     for R, lb in cases:
         name = f"R{R}_lb{lb}"
         try:
